@@ -1,0 +1,34 @@
+"""gpu_physics_engine_tpu — a TPU-native 2D particle physics engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the wgpu+Rust
+engine ``MarcVivas/gpu-physics-engine`` (reference mounted at /root/reference):
+millions of circular particles, position-based Verlet integration, a uniform
+spatial grid rebuilt every step, stable key sorting, prefix-sum compaction of
+collision cells, a 4-color Gauss-Seidel positional collision solver, periodic
+Morton-code locality resorts, interactive spawn + mouse attractor, and a
+host-side point-splat viewer.
+
+Design stance (NOT a port): the reference's per-frame choreography of encoders,
+bind groups, push constants and indirect dispatches (reference src/state.rs:115-134)
+collapses here into a single jitted, donated ``step(state, params) -> state``
+over an SoA pytree with static capacity.  Dynamic counts (live particles,
+collision cells, per-cell occupancy) are expressed with masks over static
+shapes, which is what XLA wants; the hot kernels have Pallas implementations
+with pure-jnp fallbacks behind the same signatures.
+
+Layout:
+  core/      SimConfig, ParticleState, the jitted stepper, Engine facade
+  ops/       device kernels: morton, grid build, sort, scan, collision, verlet
+  parallel/  multi-chip spatial sharding (Mesh + shard_map + ppermute halos)
+  render/    camera, velocity colormap, point-splat rasterizer (C++ native + numpy)
+  utils/     profiling/chrometrace, frame timer, checkpointing, input map
+  app/       headless scripted runs and an optional interactive viewer loop
+"""
+
+from gpu_physics_engine_tpu.core.config import SimConfig
+from gpu_physics_engine_tpu.core.state import ParticleState, StepParams
+from gpu_physics_engine_tpu.core.engine import Engine
+
+__version__ = "0.1.0"
+
+__all__ = ["SimConfig", "ParticleState", "StepParams", "Engine", "__version__"]

@@ -1,0 +1,133 @@
+"""Simulation configuration.
+
+The reference hardcodes every knob (see SURVEY.md §5 "Config / flag system"):
+world 3048x1048 (reference src/state.rs:35), 1M initial particles
+(particle_system.rs:28), sort interval 4 s (particle_system.rs:13), cell-size
+multiplier 2.2 (grid.rs:20), stiffness 0.6 (collision_solver.wgsl:2), gravity
+(0,0) and mouse strength 150 (particle_integration.wgsl:21-22), spawn bursts of
+100 particles with radius 1-3 (particle_system.rs:163-220).  Here they are all
+fields of a frozen dataclass so configs 1-5 of BASELINE.json are expressible.
+
+Everything in SimConfig is *static* under jit: a new config triggers a
+recompile, which is the XLA-native analog of the reference's pipeline-creation
+-time WGSL override constants (compute_shader.rs:36-39).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# Sentinel cell id marking unused candidate slots; sorts last as uint32.
+# Same trick as the reference (grid.wgsl:5 UNUSED_CELL_ID = 0xffffffff).
+UNUSED_CELL_ID = 0xFFFFFFFF
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static parameters of a simulation. Hashable → usable as a jit static arg."""
+
+    # --- world (reference src/state.rs:35: Vec2(3048, 1048), 2D only) ---
+    world_width: float = 3048.0
+    world_height: float = 1048.0
+
+    # --- capacity (XLA needs static shapes; reference grows GpuBuffers
+    #     dynamically, gpu_buffer.rs:49-87 — here: capacity + num_active) ---
+    max_particles: int = 1 << 20
+
+    # --- physics (particle_integration.wgsl:21-22, collision_solver.wgsl:2) ---
+    gravity: Tuple[float, float] = (0.0, 0.0)
+    dt: float = 1.0 / 60.0
+    stiffness: float = 0.6
+    mouse_strength: float = 150.0
+    substeps: int = 1
+
+    # --- broad phase (reference src/grid/grid.rs:18-22) ---
+    cell_size_multiplier: float = 2.2
+    max_cells_per_object: int = 4  # home + up to 3 phantom cells in 2D
+    # Max particles overlapping one cell that the dense solver will resolve.
+    # The reference has no bound (its per-cell loops are data-dependent,
+    # collision_solver.wgsl:66-118); XLA needs a static bound.  Overflows are
+    # counted in state.overflow_count so dense packs degrade detectably.
+    max_occupancy: int = 8
+
+    # --- solver/pipeline selection ---
+    # "colored": 4-color Gauss-Seidel over collision cells — reference
+    #   semantics (collision_solver.rs:224-242, collision_solver.wgsl:55-58).
+    # "jacobi": gather-only per-particle accumulation over the 3x3 neighbor
+    #   cells — no scatter conflicts, fastest on TPU, slightly different
+    #   (symmetric) update order.
+    solver: str = "colored"
+    # "sorted": sort 4N (cell,obj) pairs like the reference (grid.rs:310).
+    # "bucket": dense [num_cells, K] home-cell buckets built with scatter
+    #   rounds; no global sort. TPU-native fast path.
+    pipeline: str = "sorted"
+
+    # --- Morton locality resort (particle_system.rs:13-14: every 4 s) ---
+    sort_interval_steps: int = 240
+
+    # --- initial scene (particle_system.rs:28,102-161) ---
+    initial_particles: int = 1 << 20
+    initial_radius: float = 0.5
+
+    # --- interactive spawn (particle_system.rs:163-220: 100/burst, r in 1..=3) ---
+    spawn_burst: int = 100
+    spawn_radius_min: float = 1.0
+    spawn_radius_max: float = 3.0
+
+    # keep the per-particle static RGBA color field (reference C6 colors buffer;
+    # vestigial there — the drawer colors by velocity — but part of the state API)
+    track_colors: bool = False
+
+    # --- multi-chip (net-new; BASELINE.json config 5) ---
+    mesh_axis: str = "shards"
+    halo_capacity: int = 1024       # per-neighbor halo slots
+    migration_capacity: int = 256   # per-neighbor per-step migration slots
+
+    def __post_init__(self):
+        assert self.max_particles >= self.initial_particles
+        assert self.solver in ("colored", "jacobi")
+        assert self.pipeline in ("sorted", "bucket")
+        assert self.max_cells_per_object == 4, "2D: home + 3 phantom cells"
+
+    # ---- derived (static) quantities ----
+
+    @property
+    def capacity(self) -> int:
+        """Particle slots, padded to a TPU-friendly multiple of 1024 lanes."""
+        return _round_up(self.max_particles, 1024)
+
+    @property
+    def min_cell_size(self) -> float:
+        """Smallest cell size that can ever occur.
+
+        cell_size = multiplier * max_radius (grid.rs:159-161) and max_radius
+        only grows over a run (spawned particles are larger, particle_system.rs:189),
+        so the initial radius bounds the cell count from above.
+        """
+        return self.cell_size_multiplier * self.initial_radius
+
+    @property
+    def grid_dims(self) -> Tuple[int, int]:
+        """Static upper bound on grid cells per axis (for the bucket pipeline)."""
+        nx = int(math.ceil(self.world_width / self.min_cell_size)) + 2
+        ny = int(math.ceil(self.world_height / self.min_cell_size)) + 2
+        return nx, ny
+
+    @property
+    def num_cells(self) -> int:
+        nx, ny = self.grid_dims
+        return nx * ny
+
+    def cell_size(self, max_radius: float) -> float:
+        """Dynamic cell size given the current largest radius (grid.rs:159-161)."""
+        return self.cell_size_multiplier * max_radius
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,123 @@
+"""Engine — the host-side composition root.
+
+The analog of the reference's State (src/state.rs:33-205): owns the particle
+state, the compiled step, the spawn path, and the latched mouse/input
+parameters that feed each frame.  Unlike State it holds no GPU plumbing —
+the whole frame is one jitted XLA program (core/stepper.py) and "input"
+is just the StepParams pytree passed into it.
+
+Typical use:
+
+    eng = Engine(SimConfig(initial_particles=100_000))
+    eng.run(600)                     # headless steps
+    eng.press_mouse((100., 100.))    # attractor on (state.rs:164-169)
+    eng.spawn_at((100., 100.))       # key `P` analog (state.rs:187-200)
+    pos = eng.positions()            # host download (gpu_buffer.rs:96-175)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from gpu_physics_engine_tpu.core import state as state_lib
+from gpu_physics_engine_tpu.core.config import SimConfig
+from gpu_physics_engine_tpu.core.state import ParticleState, StepParams
+from gpu_physics_engine_tpu.core.stepper import make_step
+from gpu_physics_engine_tpu.ops.spawn import add_particles
+from gpu_physics_engine_tpu.utils.timer import FrameTimer
+
+
+class Engine:
+    def __init__(self, config: SimConfig, seed: int = 0,
+                 initial_state: Optional[ParticleState] = None):
+        self.config = config
+        self._key = jax.random.key(seed)
+        if initial_state is None:
+            initial_state = state_lib.init_uniform(config, self._next_key())
+        self.state = initial_state
+        self._step = make_step(config)
+        self.timer = FrameTimer().start()
+        # Latched input, consumed by every subsequent frame
+        # (particle_integration.rs:176-185 latches the same way).
+        self.mouse_pos: Tuple[float, float] = (0.0, 0.0)
+        self.mouse_pressed: bool = False
+
+    @classmethod
+    def from_arrays(cls, config: SimConfig, positions, radii, **kw) -> "Engine":
+        """Test-fixture constructor (ParticleSystem::new_from_buffers analog)."""
+        st = state_lib.from_arrays(config, positions, radii, **kw)
+        return cls(config, initial_state=st)
+
+    def _next_key(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def params(self, dt: Optional[float] = None) -> StepParams:
+        return StepParams.make(
+            self.config.dt if dt is None else dt,
+            mouse=self.mouse_pos, pressed=self.mouse_pressed)
+
+    # ---- frame loop ----
+
+    def step(self, params: Optional[StepParams] = None) -> ParticleState:
+        """Advance one frame (State::update analog, state.rs:115-134)."""
+        self.state = self._step(self.state, params or self.params())
+        return self.state
+
+    def run(self, n_steps: int, sync_every: int = 0) -> ParticleState:
+        """Advance n frames; optionally block_until_ready periodically."""
+        p = self.params()
+        for i in range(n_steps):
+            self.state = self._step(self.state, p)
+            if sync_every and (i + 1) % sync_every == 0:
+                jax.block_until_ready(self.state.x)
+            self.timer.get_delta()
+        jax.block_until_ready(self.state.x)
+        return self.state
+
+    # ---- interaction (InputManager/State callback analogs) ----
+
+    def press_mouse(self, world_pos: Tuple[float, float]):
+        self.mouse_pos = tuple(map(float, world_pos))
+        self.mouse_pressed = True
+
+    def release_mouse(self):
+        self.mouse_pressed = False
+
+    def move_mouse(self, world_pos: Tuple[float, float]):
+        self.mouse_pos = tuple(map(float, world_pos))
+
+    def spawn_at(self, world_pos: Tuple[float, float], count: Optional[int] = None):
+        """Spawn a burst around a point (key `P` path, state.rs:187-200)."""
+        self.state = add_particles(
+            self.config, self.state, self._next_key(),
+            float(world_pos[0]), float(world_pos[1]),
+            count=count or self.config.spawn_burst)
+        return self.state
+
+    # ---- host downloads (GpuBuffer::download analog, tests/inspection) ----
+
+    def num_particles(self) -> int:
+        return int(self.state.num_active)
+
+    def positions(self) -> np.ndarray:
+        n = self.num_particles()
+        return np.stack(
+            [np.asarray(self.state.x[:n]), np.asarray(self.state.y[:n])], axis=-1)
+
+    def previous_positions(self) -> np.ndarray:
+        n = self.num_particles()
+        return np.stack(
+            [np.asarray(self.state.px[:n]), np.asarray(self.state.py[:n])], axis=-1)
+
+    def radii(self) -> np.ndarray:
+        return np.asarray(self.state.radius[: self.num_particles()])
+
+    def velocities(self) -> np.ndarray:
+        return self.positions() - self.previous_positions()
+
+    def cell_size(self) -> float:
+        return float(self.config.cell_size(float(self.state.max_radius)))

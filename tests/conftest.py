@@ -1,0 +1,18 @@
+"""Test harness setup: force JAX onto a virtual 8-device CPU platform.
+
+The analog of the reference's headless WgpuContext::new_for_test
+(wgpu_context.rs:73-101): the same kernels that run on TPU run here on CPU,
+unchanged.  8 virtual devices let the multi-chip sharding tests build a real
+jax.sharding.Mesh without hardware.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
