@@ -1,0 +1,70 @@
+"""Host-side viewer: composes a frame from device arrays.
+
+The analog of the reference Renderer (R3, src/renderer/renderer.rs:27-75):
+clear to black, draw every renderable (particles as velocity-colored soft
+circles, optional grid lines), present.  "Present" here is a numpy RGB
+frame — savable as PNG, streamable to a window by app/interactive.py.
+
+Unlike the reference's on-GPU instanced pipeline, the viewer pulls
+pos/prev/radius off the device at display cadence (a deliberate split:
+BASELINE.json's north star calls for "rendering split into a host-side
+point-splat viewer fed by device arrays") and splats with the native C++
+rasterizer (render/native/).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from gpu_physics_engine_tpu.render import colormap, lines, rasterizer
+from gpu_physics_engine_tpu.render.camera import Camera
+from gpu_physics_engine_tpu.utils.png import write_png
+
+CLEAR_COLOR = (0.0, 0.0, 0.0)  # black clear (renderer.rs:40-47)
+
+
+class Viewer:
+    def __init__(self, world_size: Tuple[float, float],
+                 screen_size: Tuple[int, int] = (1280, 720)):
+        self.camera = Camera(world_size, screen_size)
+        self.screen_size = (int(screen_size[0]), int(screen_size[1]))
+        self.world_size = world_size
+        self.draw_grid = False  # `G` toggle (grid.rs:345-351)
+
+    def toggle_grid(self):
+        self.draw_grid = not self.draw_grid
+
+    def render(self, positions: np.ndarray, previous_positions: np.ndarray,
+               radii: np.ndarray, cell_size: Optional[float] = None) -> np.ndarray:
+        """Compose one frame; returns (H, W, 3) float32 RGB."""
+        w, h = self.screen_size
+        frame = np.empty((h, w, 3), np.float32)
+        frame[:] = CLEAR_COLOR
+
+        if self.draw_grid and cell_size:
+            a, b, hz = lines.grid_line_segments(self.world_size, cell_size)
+            sa = self.camera.world_to_screen(a)
+            sb = self.camera.world_to_screen(b)
+            # y-down flip swaps vertical segment endpoints
+            lo = np.minimum(sa, sb)
+            hi = np.maximum(sa, sb)
+            rgb = np.tile(np.asarray(lines.GRID_COLOR, np.float32), (len(a), 1))
+            rasterizer.draw_axis_lines(frame, lo, hi, rgb, hz)
+
+        pos = np.asarray(positions, np.float32)
+        if pos.shape[0]:
+            screen = self.camera.world_to_screen(pos)
+            sr = np.asarray(radii, np.float32) * self.camera.zoom
+            rgb = colormap.velocity_colors(pos - np.asarray(previous_positions))
+            rasterizer.splat(frame, screen[:, 0], screen[:, 1], sr, rgb)
+        return frame
+
+    def render_engine(self, engine) -> np.ndarray:
+        """Pull state off the device and render it (display-cadence download)."""
+        return self.render(engine.positions(), engine.previous_positions(),
+                           engine.radii(), engine.cell_size())
+
+    def save_png(self, path: str, frame: np.ndarray) -> None:
+        write_png(path, frame)

@@ -1,0 +1,45 @@
+"""Checkpoint / resume.
+
+The reference has none (SURVEY.md §5: state lives solely in GPU buffers);
+for benchmark-parity configs and long runs it is worth having, and the SoA
+state is just a handful of arrays.  Format: one .npz with the particle
+arrays + counters, plus the SimConfig as JSON so a checkpoint is
+self-describing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_physics_engine_tpu.core.config import SimConfig
+from gpu_physics_engine_tpu.core.state import ParticleState
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, state: ParticleState, config: SimConfig) -> None:
+    arrays = {f.name: np.asarray(getattr(state, f.name))
+              for f in dataclasses.fields(state)}
+    np.savez_compressed(
+        path,
+        __version__=np.int32(_FORMAT_VERSION),
+        __config__=np.frombuffer(
+            json.dumps(dataclasses.asdict(config)).encode(), dtype=np.uint8),
+        **arrays)
+
+
+def load_checkpoint(path: str) -> Tuple[ParticleState, SimConfig]:
+    with np.load(path) as z:
+        version = int(z["__version__"])
+        assert version == _FORMAT_VERSION, f"unknown checkpoint version {version}"
+        cfg_dict = json.loads(bytes(z["__config__"].tobytes()).decode())
+        cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
+        config = SimConfig(**cfg_dict)
+        fields = {f.name: jnp.asarray(z[f.name])
+                  for f in dataclasses.fields(ParticleState)}
+    return ParticleState(**fields), config

@@ -1,0 +1,115 @@
+"""Auxiliary subsystem tests: checkpoint/resume, profiling, input map,
+headless app CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gpu_physics_engine_tpu import Engine, SimConfig, StepParams
+from gpu_physics_engine_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from gpu_physics_engine_tpu.utils.profiling import Profiler, phase_breakdown
+from gpu_physics_engine_tpu.utils.input import InputManager
+
+
+def _cfg(**kw):
+    base = dict(max_particles=512, initial_particles=256,
+                world_width=64.0, world_height=64.0,
+                initial_radius=0.5, sort_interval_steps=0)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_checkpoint_roundtrip_resumes_identically(tmp_path):
+    eng = Engine(_cfg(), seed=0)
+    eng.run(10)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, eng.state, eng.config)
+
+    state2, cfg2 = load_checkpoint(path)
+    assert cfg2 == eng.config
+    eng2 = Engine(cfg2, seed=0, initial_state=state2)
+
+    a = eng.run(5)
+    b = eng2.run(5)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(a.py), np.asarray(b.py))
+    assert int(a.num_active) == int(b.num_active)
+
+
+def test_profiler_chrometrace_format(tmp_path):
+    prof = Profiler()
+    with prof.scope("outer"):
+        with prof.scope("inner"):
+            sum(range(1000))
+    path = str(tmp_path / "benchmark.json")
+    prof.export_chrometrace(path)
+    with open(path) as f:
+        trace = json.load(f)
+    names = [e["name"] for e in trace["traceEvents"]]
+    assert "outer" in names and "inner" in names
+    for e in trace["traceEvents"]:
+        assert e["ph"] == "X" and e["dur"] >= 0
+
+
+def test_phase_breakdown_reports_all_phases():
+    cfg = _cfg()
+    eng = Engine(cfg, seed=0)
+    eng.run(2)
+    t = phase_breakdown(cfg, eng.state, eng.params(), repeats=2)
+    for phase in ("build_cell_ids", "sort_map", "build_collision_cells",
+                  "solve_collisions", "particle_integration", "morton_resort"):
+        assert phase in t and t[phase] >= 0.0
+
+
+def test_input_manager_keymap():
+    from gpu_physics_engine_tpu.render.viewer import Viewer
+    eng = Engine(_cfg(), seed=0)
+    viewer = Viewer((64.0, 64.0), (320, 240))
+    quit_flag = []
+    im = InputManager(eng, viewer, on_quit=lambda: quit_flag.append(1))
+
+    im.process_cursor_moved((160, 120))  # screen center -> world center
+    n0 = eng.num_particles()
+    im.process_keyboard_input("p", True)
+    assert eng.num_particles() == n0 + 100  # spawn burst
+
+    assert not viewer.draw_grid
+    im.process_keyboard_input("g", True)
+    assert viewer.draw_grid
+
+    im.process_mouse_input("left", True)
+    assert eng.mouse_pressed
+    np.testing.assert_allclose(eng.mouse_pos, (32.0, 32.0), atol=1e-6)
+    im.process_mouse_input("left", False)
+    assert not eng.mouse_pressed
+
+    im.process_keyboard_input("d", True)
+    assert viewer.camera.pressed["right"]
+
+    im.process_keyboard_input("escape", True)
+    assert quit_flag
+
+
+def test_headless_cli_small_run(tmp_path, capsys):
+    from gpu_physics_engine_tpu.app import headless
+    out = str(tmp_path / "frames")
+    summary = headless.main([
+        "--particles", "200", "--steps", "8",
+        "--world", "64", "64", "--sort-interval", "4",
+        "--spawn", "2", "32", "32",
+        "--attract", "3", "32", "32", "--release", "6",
+        "--render-every", "4", "--out", out,
+        "--chrometrace", str(tmp_path / "benchmark.json"),
+        "--checkpoint", str(tmp_path / "end.npz"),
+        "--summary-json",
+    ])
+    assert summary["particles"] == 300
+    assert summary["finite"]
+    assert os.path.exists(os.path.join(out, "frame_000004.png"))
+    assert os.path.exists(str(tmp_path / "benchmark.json"))
+    st, cfg = load_checkpoint(str(tmp_path / "end.npz"))
+    assert int(st.num_active) == 300
+    captured = capsys.readouterr().out
+    assert "Average update time" in captured
