@@ -31,6 +31,9 @@ from gpu_physics_engine_tpu.utils.profiling import Profiler
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Headless particle simulation run")
+    p.add_argument("--scene", type=str, default="",
+                   help="run a named BASELINE scene preset (see scenes.py); "
+                        "overrides --particles/--world/--gravity/event flags")
     p.add_argument("--particles", type=int, default=1_000_000)
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--substeps", type=int, default=1)
@@ -67,7 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
 
-    if args.resume:
+    if args.scene:
+        from gpu_physics_engine_tpu.scenes import get_scene
+        scene = get_scene(args.scene)
+        args.steps = scene.steps
+        args.attract = [(e.step, *e.pos) for e in scene.events if e.kind == "press"]
+        args.release = [e.step for e in scene.events if e.kind == "release"]
+        args.spawn = [(e.step, *e.pos) for e in scene.events if e.kind == "spawn"]
+        eng = Engine(scene.config, seed=args.seed)
+    elif args.resume:
         from gpu_physics_engine_tpu.utils.checkpoint import load_checkpoint
         state, cfg = load_checkpoint(args.resume)
         eng = Engine(cfg, seed=args.seed, initial_state=state)

@@ -68,6 +68,9 @@ class SimConfig:
     # "bucket": dense [num_cells, K] home-cell buckets built with scatter
     #   rounds; no global sort. TPU-native fast path.
     pipeline: str = "sorted"
+    # key/value sort backend for the sorted pipeline + Morton resort:
+    # "lax" = jax.lax.sort, "radix" = Pallas blockwise radix (ops/radix_sort.py)
+    sort_impl: str = "lax"
 
     # --- Morton locality resort (particle_system.rs:13-14: every 4 s) ---
     sort_interval_steps: int = 240
@@ -94,6 +97,7 @@ class SimConfig:
         assert self.max_particles >= self.initial_particles
         assert self.solver in ("colored", "jacobi")
         assert self.pipeline in ("sorted", "bucket")
+        assert self.sort_impl in ("lax", "radix")
         assert self.max_cells_per_object == 4, "2D: home + 3 phantom cells"
 
     # ---- derived (static) quantities ----

@@ -90,12 +90,15 @@ class Engine:
     def move_mouse(self, world_pos: Tuple[float, float]):
         self.mouse_pos = tuple(map(float, world_pos))
 
-    def spawn_at(self, world_pos: Tuple[float, float], count: Optional[int] = None):
+    def spawn_at(self, world_pos: Tuple[float, float], count: Optional[int] = None,
+                 verbose: bool = True):
         """Spawn a burst around a point (key `P` path, state.rs:187-200)."""
         self.state = add_particles(
             self.config, self.state, self._next_key(),
             float(world_pos[0]), float(world_pos[1]),
             count=count or self.config.spawn_burst)
+        if verbose:  # reference prints the count on spawn (particle_system.rs:219)
+            print(f"Total particles: {self.num_particles()}")
         return self.state
 
     # ---- host downloads (GpuBuffer::download analog, tests/inspection) ----

@@ -44,7 +44,8 @@ def substep(state: ParticleState, params: StepParams, config: SimConfig,
         if config.pipeline == "sorted":
             with jax.named_scope("sort_map"):
                 cell_ids, object_ids = grid.build_cell_ids(cand)
-                sc, so = grid.sort_map(cell_ids, object_ids)
+                sc, so = grid.sort_map(cell_ids, object_ids,
+                                       impl=config.sort_impl)
             with jax.named_scope("build_collision_cells"):
                 table = collision.occupants_from_sorted(
                     sc, so, config.max_occupancy)
@@ -80,7 +81,8 @@ def step_fn(state: ParticleState, params: StepParams,
 
     def do_resort(s: ParticleState) -> ParticleState:
         with jax.named_scope("morton_resort"):
-            new_s, _ = resort.morton_resort(s, config.cell_size(s.max_radius))
+            new_s, _ = resort.morton_resort(
+                s, config.cell_size(s.max_radius), sort_impl=config.sort_impl)
         return new_s
 
     if config.sort_interval_steps > 0:

@@ -102,28 +102,45 @@ class OccupantTable(NamedTuple):
     overflow: jax.Array
 
 
-def occupants_from_sorted(sorted_cells, sorted_objs, K: int) -> OccupantTable:
-    """One row per pair-array position; rows at collision-cell starts active."""
+def occupants_from_sorted(sorted_cells, sorted_objs, K: int,
+                          max_cells: int | None = None) -> OccupantTable:
+    """Occupant table of the collision cells in the sorted pair array.
+
+    Collision-cell start indices are first compacted to ``max_cells`` rows
+    (default: len/4 = one per particle slot — comfortably above observed
+    densities; every 4-slot group contributes at most 2 runs of length >= 2,
+    so the hard bound is len/2), then occupants are gathered per row.  This
+    keeps the solver's row count O(N) instead of O(4N) and is the analog of
+    the reference's compaction into the collision_cells buffer
+    (collision_cell_builder.wgsl:111-190).  Dropped cells (beyond max_cells)
+    and runs longer than K are both counted in ``overflow``.
+    """
     n = sorted_cells.shape[0]
-    starts = collision_cell_mask(sorted_cells)
-    idx = jnp.arange(n, dtype=_I32)
-    cols = []
-    valids = []
+    if max_cells is None:
+        max_cells = n // 4
+    starts_idx, total = build_collision_cells(sorted_cells)
+    starts_idx = starts_idx[:max_cells].astype(_I32)
+    active = jnp.arange(max_cells, dtype=_I32) < total
+    s = jnp.where(active, starts_idx, 0)
+
+    cols, valids = [], []
+    cell0 = sorted_cells[s]
     for k in range(K):
-        j = jnp.minimum(idx + k, n - 1)
-        same = (sorted_cells[j] == sorted_cells) & ((idx + k) < n)
+        j = jnp.minimum(s + k, n - 1)
+        same = (sorted_cells[j] == cell0) & ((s + k) < n) & active
         cols.append(jnp.where(same, sorted_objs[j], 0))
         valids.append(same)
     obj = jnp.stack(cols, axis=-1)
-    valid = jnp.stack(valids, axis=-1) & starts[:, None]
-    # overflow: run extends past K
-    jK = jnp.minimum(idx + K, n - 1)
-    over = starts & (sorted_cells[jK] == sorted_cells) & ((idx + K) < n)
-    cx, cy = morton.morton_decode(sorted_cells)
+    valid = jnp.stack(valids, axis=-1)
+    # overflow: run extends past K, or collision cells beyond max_cells
+    jK = jnp.minimum(s + K, n - 1)
+    over = active & (sorted_cells[jK] == cell0) & ((s + K) < n)
+    dropped_cells = jnp.maximum(total - max_cells, 0)
+    cx, cy = morton.morton_decode(cell0)
     color = (1 + (cx & 1) + 2 * (cy & 1)).astype(_I32)
     return OccupantTable(
-        obj=obj, valid=valid, color=color, active=starts,
-        overflow=jnp.sum(over.astype(_I32)),
+        obj=obj, valid=valid, color=color, active=active,
+        overflow=jnp.sum(over.astype(_I32)) + dropped_cells,
     )
 
 

@@ -141,9 +141,9 @@ def build_cell_ids(cand: Candidates) -> Tuple[jax.Array, jax.Array]:
     return cell_ids, object_ids
 
 
-def sort_map(cell_ids, object_ids):
+def sort_map(cell_ids, object_ids, impl: str = "lax"):
     """Stable sort of the pair arrays by cell id (grid.rs:310-312)."""
-    return sort_pairs(cell_ids, object_ids)
+    return sort_pairs(cell_ids, object_ids, impl=impl)
 
 
 # ---------------------------------------------------------------------------

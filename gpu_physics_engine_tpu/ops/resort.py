@@ -41,7 +41,8 @@ def home_cell_codes(x, y, active, cell_size) -> jax.Array:
     return jnp.where(active, code, jnp.uint32(UNUSED_CELL_ID))
 
 
-def morton_resort(state: ParticleState, cell_size) -> Tuple[ParticleState, jax.Array]:
+def morton_resort(state: ParticleState, cell_size,
+                  sort_impl: str = "lax") -> Tuple[ParticleState, jax.Array]:
     """Reorder the particle SoA by home-cell Morton code.
 
     Returns (resorted state, permutation) — the permutation is the analog of
@@ -49,7 +50,7 @@ def morton_resort(state: ParticleState, cell_size) -> Tuple[ParticleState, jax.A
     for the parity tests (tests/particle_sort.rs:44-71)."""
     active = state.active_mask()
     codes = home_cell_codes(state.x, state.y, active, cell_size)
-    _, perm = argsort_u32(codes)
+    _, perm = argsort_u32(codes, impl=sort_impl)
 
     def take(a):
         return jnp.take(a, perm, axis=0)

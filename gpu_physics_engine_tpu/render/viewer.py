@@ -36,6 +36,11 @@ class Viewer:
     def toggle_grid(self):
         self.draw_grid = not self.draw_grid
 
+    def resize(self, screen_size: Tuple[int, int]):
+        """Window resize (SurfaceManager::resize analog, surface_manager.rs)."""
+        self.screen_size = (int(screen_size[0]), int(screen_size[1]))
+        self.camera.screen_size = (float(screen_size[0]), float(screen_size[1]))
+
     def render(self, positions: np.ndarray, previous_positions: np.ndarray,
                radii: np.ndarray, cell_size: Optional[float] = None) -> np.ndarray:
         """Compose one frame; returns (H, W, 3) float32 RGB."""
