@@ -45,7 +45,8 @@ _I32 = jnp.int32
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["x", "y", "px", "py", "radius", "alive", "dropped"],
+    data_fields=["x", "y", "px", "py", "radius", "alive", "dropped",
+                 "steps_since_sort"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -61,7 +62,8 @@ class ShardedState:
     py: jax.Array
     radius: jax.Array
     alive: jax.Array
-    dropped: jax.Array  # i32[n_shards]
+    dropped: jax.Array           # i32[n_shards]
+    steps_since_sort: jax.Array  # i32[n_shards]
 
 
 def _pack(mask, arrays, n_slots: int):
@@ -107,12 +109,35 @@ def make_sharded_step(config: SimConfig, mesh: Mesh):
     H = config.halo_capacity
     M = config.migration_capacity
 
-    def local_step(x, y, px, py, r, alive, dropped, params: StepParams):
+    def local_step(x, y, px, py, r, alive, dropped, since_sort,
+                   params: StepParams):
         d = jax.lax.axis_index(axis)
         lo = d.astype(jnp.float32) * slab_w
         hi = lo + slab_w
         cap_l = x.shape[0]
         total_dropped = jnp.int32(0)
+
+        # ---- 0. periodic per-shard Morton resort (C9 analog; also
+        # compacts the alive pool: dead slots carry UNUSED keys and sink) ----
+        if config.sort_interval_steps > 0:
+            from gpu_physics_engine_tpu.core.config import UNUSED_CELL_ID
+            from gpu_physics_engine_tpu.ops import morton
+            from gpu_physics_engine_tpu.ops.sort import argsort_u32
+
+            def resort(args):
+                x, y, px, py, r, alive = args
+                cx = jnp.floor(x / cs).astype(jnp.int32)
+                cy = jnp.floor(y / cs).astype(jnp.int32)
+                keys = jnp.where(alive, morton.morton_encode(cx, cy),
+                                 jnp.uint32(UNUSED_CELL_ID))
+                _, perm = argsort_u32(keys, impl=config.sort_impl)
+                return tuple(jnp.take(a, perm, axis=0)
+                             for a in (x, y, px, py, r, alive))
+
+            do = since_sort[0] >= config.sort_interval_steps
+            x, y, px, py, r, alive = jax.lax.cond(
+                do, resort, lambda a: a, (x, y, px, py, r, alive))
+            since_sort = jnp.where(do, 0, since_sort)
 
         # ---- 1. halo exchange (x, y, r of boundary particles) ----
         def exchange(mask, perm):
@@ -166,20 +191,21 @@ def make_sharded_step(config: SimConfig, mesh: Mesh):
         x3, y3, px3, py3, r3 = locals_
 
         return (x3, y3, px3, py3, r3, alive2,
-                dropped + total_dropped[None])
+                dropped + total_dropped[None], since_sort + 1)
 
     sharded = P(axis)
     rep = P()
     mapped = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(sharded,) * 7 + (rep,),
-        out_specs=(sharded,) * 7,
+        in_specs=(sharded,) * 8 + (rep,),
+        out_specs=(sharded,) * 8,
     )
 
     @jax.jit
     def step(state: ShardedState, params: StepParams) -> ShardedState:
         out = mapped(state.x, state.y, state.px, state.py,
-                     state.radius, state.alive, state.dropped, params)
+                     state.radius, state.alive, state.dropped,
+                     state.steps_since_sort, params)
         return ShardedState(*out)
 
     return step
@@ -215,6 +241,7 @@ def init_sharded(config: SimConfig, mesh: Mesh, positions, radii,
         x=put(x), y=put(y), px=put(x.copy()), py=put(y.copy()),
         radius=put(r), alive=put(alive),
         dropped=put(np.zeros(n, np.int32)),
+        steps_since_sort=put(np.zeros(n, np.int32)),
     )
 
 

