@@ -60,9 +60,10 @@ class SimConfig:
     # --- solver/pipeline selection ---
     # "colored": 4-color Gauss-Seidel over collision cells — reference
     #   semantics (collision_solver.rs:224-242, collision_solver.wgsl:55-58).
-    # "jacobi": gather-only per-particle accumulation over the 3x3 neighbor
-    #   cells — no scatter conflicts, fastest on TPU, slightly different
-    #   (symmetric) update order.
+    # "fast": gather-free sort+shift Jacobi (ops/fast_solve.py) — the TPU
+    #   speed-of-light path; same pairs/corrections, simultaneous apply.
+    # "jacobi": gather-based per-particle accumulation over 3x3 neighbor
+    #   buckets — kept as a cross-check; gathers are slow on TPU.
     solver: str = "colored"
     # "sorted": sort 4N (cell,obj) pairs like the reference (grid.rs:310).
     # "bucket": dense [num_cells, K] home-cell buckets built with scatter
@@ -71,6 +72,10 @@ class SimConfig:
     # key/value sort backend for the sorted pipeline + Morton resort:
     # "lax" = jax.lax.sort, "radix" = Pallas blockwise radix (ops/radix_sort.py)
     sort_impl: str = "lax"
+    # fast solver: pack per-entry corrections as 2x bf16 in the aggregation
+    # sort (~35% faster aggregation, ~0.4% correction rounding). False for
+    # exact f32 arithmetic.
+    fast_pack_bf16: bool = True
 
     # --- Morton locality resort (particle_system.rs:13-14: every 4 s) ---
     sort_interval_steps: int = 240
@@ -88,6 +93,16 @@ class SimConfig:
     # vestigial there — the drawer colors by velocity — but part of the state API)
     track_colors: bool = False
 
+    # --- persistent tiled pipeline (ops/tiled.py) ---
+    # tile edge = tile_multiplier * tile_max_radius; must stay >= 2*max
+    # live radius for 3x3 pair coverage (4.4 = two reference cells of slack)
+    tile_multiplier: float = 4.4
+    tile_cap: int = 24            # particle slots per tile
+    mover_capacity: int = 1 << 15  # per-step tile-crossing buffer
+    # largest radius the tiling must accommodate; None -> initial_radius
+    # (set to spawn_radius_max when interactive spawning is used)
+    tile_max_radius: float | None = None
+
     # --- multi-chip (net-new; BASELINE.json config 5) ---
     mesh_axis: str = "shards"
     halo_capacity: int = 1024       # per-neighbor halo slots
@@ -95,8 +110,8 @@ class SimConfig:
 
     def __post_init__(self):
         assert self.max_particles >= self.initial_particles
-        assert self.solver in ("colored", "jacobi")
-        assert self.pipeline in ("sorted", "bucket")
+        assert self.solver in ("colored", "fast", "jacobi")
+        assert self.pipeline in ("sorted", "bucket", "tiled")
         assert self.sort_impl in ("lax", "radix")
         assert self.max_cells_per_object == 4, "2D: home + 3 phantom cells"
 
@@ -106,6 +121,11 @@ class SimConfig:
     def capacity(self) -> int:
         """Particle slots, padded to a TPU-friendly multiple of 1024 lanes."""
         return _round_up(self.max_particles, 1024)
+
+    @property
+    def tile_max_radius_effective(self) -> float:
+        return (self.tile_max_radius if self.tile_max_radius is not None
+                else self.initial_radius)
 
     @property
     def min_cell_size(self) -> float:

@@ -33,14 +33,24 @@ def substep(state: ParticleState, params: StepParams, config: SimConfig,
     active = state.active_mask()
     cell_size = config.cell_size(state.max_radius)
 
-    with jax.named_scope("build_cell_ids"):
-        cand = grid.build_candidates(
-            state.x, state.y, state.radius, active, cell_size)
-
     x, y = state.x, state.y
     overflow = state.overflow_count
 
+    if config.solver == "fast":
+        # builds its own fused candidate entries (positions as payloads)
+        from gpu_physics_engine_tpu.ops import fast_solve
+        with jax.named_scope("solve_collisions"):
+            x, y, ovf = fast_solve.solve_fast(
+                x, y, state.radius, active, cell_size, config)
+        overflow = overflow + ovf
+        cand = None
+    else:
+        with jax.named_scope("build_cell_ids"):
+            cand = grid.build_candidates(
+                state.x, state.y, state.radius, active, cell_size)
+
     if config.solver == "colored":
+        assert cand is not None
         if config.pipeline == "sorted":
             with jax.named_scope("sort_map"):
                 cell_ids, object_ids = grid.build_cell_ids(cand)
@@ -58,7 +68,7 @@ def substep(state: ParticleState, params: StepParams, config: SimConfig,
             x, y = collision.solve_colored(
                 x, y, state.radius, table, jnp.float32(config.stiffness))
         overflow = overflow + table.overflow
-    else:  # jacobi
+    elif config.solver == "jacobi":
         with jax.named_scope("build_buckets"):
             home_buckets = grid.build_buckets(cand, config, home_only=True)
         with jax.named_scope("solve_collisions"):

@@ -1,0 +1,129 @@
+"""Engine facade over the persistent tiled pipeline (ops/tiled.py).
+
+Mirrors core/engine.py::Engine's API (run/step/spawn/mouse/downloads) so
+apps, the viewer and benchmarks can switch pipelines by constructing a
+TiledEngine instead — the State-analog composition root for the sort-free
+engine.  Downloads return arrays ordered by particle id, so trajectories
+are comparable with the slot-ordered engines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_physics_engine_tpu.core.config import SimConfig
+from gpu_physics_engine_tpu.core.state import StepParams
+from gpu_physics_engine_tpu.ops import tiled
+from gpu_physics_engine_tpu.utils.timer import FrameTimer
+
+
+class TiledEngine:
+    def __init__(self, config: SimConfig, seed: int = 0,
+                 initial_state: Optional[tiled.TileState] = None):
+        self.config = config
+        self._key = jax.random.key(seed)
+        if initial_state is None:
+            k1, k2, self._key = jax.random.split(self._key, 3)
+            n = config.initial_particles
+            positions = np.stack([
+                np.asarray(jax.random.uniform(
+                    k1, (n,), jnp.float32, 0.0, config.world_width)),
+                np.asarray(jax.random.uniform(
+                    k2, (n,), jnp.float32, 0.0, config.world_height))], -1)
+            radii = np.full(n, config.initial_radius, np.float32)
+            initial_state = tiled.init_tiles(config, positions, radii)
+        self.state = initial_state
+        self._next_pid = int(self.state.num_active)
+        self._step = tiled.make_tiled_step(config)
+        self._insert = jax.jit(
+            lambda s, p, r, ids: tiled.insert_particles(s, config, p, r, ids),
+            donate_argnums=0)
+        self.timer = FrameTimer().start()
+        self.mouse_pos: Tuple[float, float] = (0.0, 0.0)
+        self.mouse_pressed: bool = False
+
+    @classmethod
+    def from_arrays(cls, config: SimConfig, positions, radii, **kw):
+        st = tiled.init_tiles(config, positions, radii, **kw)
+        return cls(config, initial_state=st)
+
+    def params(self, dt: Optional[float] = None) -> StepParams:
+        return StepParams.make(
+            self.config.dt if dt is None else dt,
+            mouse=self.mouse_pos, pressed=self.mouse_pressed)
+
+    def step(self, params: Optional[StepParams] = None):
+        self.state = self._step(self.state, params or self.params())
+        return self.state
+
+    def run(self, n_steps: int):
+        p = self.params()
+        for _ in range(n_steps):
+            self.state = self._step(self.state, p)
+            self.timer.get_delta()
+        return self.state
+
+    # ---- interaction ----
+
+    def press_mouse(self, world_pos):
+        self.mouse_pos = tuple(map(float, world_pos))
+        self.mouse_pressed = True
+
+    def release_mouse(self):
+        self.mouse_pressed = False
+
+    def move_mouse(self, world_pos):
+        self.mouse_pos = tuple(map(float, world_pos))
+
+    def spawn_at(self, world_pos, count: Optional[int] = None,
+                 verbose: bool = True):
+        """Ring burst around a point (particle_system.rs:163-220 geometry)."""
+        count = count or self.config.spawn_burst
+        ka, kd, kr, self._key = jax.random.split(self._key, 4)
+        i = jnp.arange(count, dtype=jnp.float32)
+        angle = jax.random.uniform(ka, (count,), jnp.float32, 0.0, 2 * jnp.pi)
+        max_dist = 50.0 + i * 1.5
+        dist = 10.0 + jax.random.uniform(kd, (count,), jnp.float32) * (
+            max_dist - 10.0)
+        sx = world_pos[0] + dist * jnp.cos(angle)
+        sy = world_pos[1] + dist * jnp.sin(angle)
+        sx = jnp.clip(sx, 0.0, self.config.world_width - 1e-3)
+        sy = jnp.clip(sy, 0.0, self.config.world_height - 1e-3)
+        radii = jax.random.randint(kr, (count,), 1, 4).astype(jnp.float32)
+        # the static tiling must accommodate the spawned radius
+        radii = jnp.minimum(radii, self.config.tile_max_radius_effective)
+        ids = jnp.arange(count, dtype=jnp.int32) + self._next_pid
+        self._next_pid += count
+        self.state = self._insert(
+            self.state, jnp.stack([sx, sy], -1), radii, ids)
+        if verbose:
+            print(f"Total particles: {self.num_particles()}")
+        return self.state
+
+    # ---- downloads ----
+
+    def num_particles(self) -> int:
+        return int(self.state.num_active)
+
+    def _export(self):
+        return tiled.export_particles(self.state)
+
+    def positions(self) -> np.ndarray:
+        return self._export()[1]
+
+    def previous_positions(self) -> np.ndarray:
+        return self._export()[2]
+
+    def radii(self) -> np.ndarray:
+        return self._export()[3]
+
+    def velocities(self) -> np.ndarray:
+        _, pos, prev, _ = self._export()
+        return pos - prev
+
+    def cell_size(self) -> float:
+        return tiled.tile_geometry(self.config)[0]

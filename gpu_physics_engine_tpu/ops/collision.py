@@ -78,7 +78,11 @@ def build_collision_cells(sorted_cells: jax.Array) -> Tuple[jax.Array, jax.Array
     offsets = inclusive_scan(mask.astype(_I32)) - 1
     out = jnp.full(n, _U32(UNUSED_CELL_ID))
     idx = jnp.arange(n, dtype=_I32)
-    out = out.at[jnp.where(mask, offsets, n)].set(idx.astype(_U32), mode="drop")
+    # masked rows get DISTINCT out-of-bounds destinations (n + idx) so the
+    # scatter is honestly unique_indices — non-unique scatters serialize on
+    # TPU (measured 10ms -> sub-ms at 64k)
+    dst = jnp.where(mask, offsets, n + idx)
+    out = out.at[dst].set(idx.astype(_U32), mode="drop", unique_indices=True)
     return out, total
 
 
@@ -196,7 +200,10 @@ def solve_colored(x, y, radius, table: OccupantTable, stiffness: float,
     """
     K = table.obj.shape[1]
     cap = x.shape[0]
-    drop = jnp.int32(cap)
+    rows = table.obj.shape[0]
+    # distinct out-of-bounds destinations for masked rows: scatter stays
+    # unique_indices (non-unique scatters serialize on TPU)
+    oob = cap + jnp.arange(rows, dtype=jnp.int32)
 
     for c in range(1, num_colors + 1):
         sel = table.active & (table.color == c)
@@ -215,9 +222,9 @@ def solve_colored(x, y, radius, table: OccupantTable, stiffness: float,
                 lx[j] = jnp.where(apply, lx[j] - dxj, lx[j])
                 ly[j] = jnp.where(apply, ly[j] - dyj, ly[j])
         for k in range(K):
-            dst = jnp.where(svalid[k], oid[k], drop)
-            x = x.at[dst].set(lx[k], mode="drop")
-            y = y.at[dst].set(ly[k], mode="drop")
+            dst = jnp.where(svalid[k], oid[k], oob)
+            x = x.at[dst].set(lx[k], mode="drop", unique_indices=True)
+            y = y.at[dst].set(ly[k], mode="drop", unique_indices=True)
     return x, y
 
 

@@ -1,0 +1,395 @@
+"""Persistent tiled engine: sort-free broad phase on dense tile storage.
+
+The measured wall for every sort-based pipeline on TPU is `lax.sort` at
+~4 GB/s (DESIGN.md §6-7).  This pipeline removes the per-step global sort
+entirely by making spatial binning *persistent state* instead of a per-step
+product — the TPU answer to the reference's "rebuild the grid every frame"
+(grid.rs:322-332), exploiting that particles move a tiny fraction of a tile
+per step:
+
+  * Storage IS the grid: every per-particle field lives in a dense
+    [CAP, TY, TX] array — slot k of tile (ty, tx).  Slot-major layout keeps
+    the large TX extent in the lane dimension (TPU tiles (8, 128); a
+    trailing CAP~16 would waste 7/8 of every vector).
+  * Collisions: for each of the 9 neighbor offsets and CAP partner slots, a
+    vectorized pair interaction against all local slots — pure elementwise
+    math on shifted slices; each side accumulates its own half (Jacobi).
+    No scatter, no gather, no sort.
+  * Integration: elementwise over slots.
+  * Relocation: the few particles that crossed a tile boundary this step
+    (~0.1%) are compacted into a small fixed buffer, claim free slots in
+    their new tile with deterministic scatter-min rounds, and only then
+    vacate their old slots.  A mover that finds no slot (or overflows the
+    buffer) stays put and retries next step — never lost, and counted in
+    ``overflow_count``.
+
+Geometry: tile edge T = tile_multiplier * tile_max_radius with
+T >= 2*max_radius + slack, so all interacting pairs lie within the 3x3
+neighborhood even for particles whose relocation was deferred a step.  A
+one-tile empty border ring absorbs shifted reads at the world edge (and
+makes `jnp.roll` wrap-around read vacant slots).
+
+Semantic note vs the reference: pair discovery is exact (same pair set);
+corrections apply once per pair per substep, simultaneously — the Jacobi
+variant of the reference's per-shared-cell Gauss-Seidel projection
+(collision_solver.wgsl:66-118).  solver="colored" remains the bit-parity
+path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpu_physics_engine_tpu.core.config import SimConfig
+from gpu_physics_engine_tpu.core.state import StepParams
+
+_I32 = jnp.int32
+MIN_DISTANCE = 1e-4  # collision_solver.wgsl:95
+_EMPTY = jnp.int32(-1)
+_BIG = jnp.int32(0x7FFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# geometry + state
+# ---------------------------------------------------------------------------
+
+def tile_geometry(config: SimConfig) -> Tuple[float, int, int]:
+    """(tile_edge, TY, TX) including the 1-tile empty border ring."""
+    t = config.tile_multiplier * config.tile_max_radius_effective
+    tx = int(math.ceil(config.world_width / t)) + 2
+    ty = int(math.ceil(config.world_height / t)) + 2
+    return t, ty, tx
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "y", "px", "py", "radius", "pid",
+                 "num_active", "overflow_count"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class TileState:
+    """Dense tile-resident particle state ([CAP, TY, TX] per field)."""
+    x: jax.Array
+    y: jax.Array
+    px: jax.Array
+    py: jax.Array
+    radius: jax.Array
+    pid: jax.Array          # i32, -1 marks an empty slot
+    num_active: jax.Array   # i32[]
+    overflow_count: jax.Array  # i32[] deferred movers + refused inserts
+
+    @property
+    def dims(self):
+        return self.x.shape  # (CAP, TY, TX)
+
+    def occupied(self):
+        return self.pid >= 0
+
+
+def _tile_of(x, y, tile_edge):
+    """Tile coords (+1 border offset) of world positions."""
+    tx = jnp.floor(x / tile_edge).astype(_I32) + 1
+    ty = jnp.floor(y / tile_edge).astype(_I32) + 1
+    return ty, tx
+
+
+def init_tiles(config: SimConfig, positions, radii, pids=None,
+               previous_positions=None) -> TileState:
+    """Host-side construction from particle arrays (init / test fixture)."""
+    import numpy as np
+
+    t, TY, TX = tile_geometry(config)
+    cap = config.tile_cap
+    positions = np.asarray(positions, np.float32).reshape(-1, 2)
+    radii = np.asarray(radii, np.float32).reshape(-1)
+    n = radii.shape[0]
+    if previous_positions is None:
+        previous_positions = positions
+    previous_positions = np.asarray(previous_positions, np.float32).reshape(-1, 2)
+    if pids is None:
+        pids = np.arange(n, dtype=np.int32)
+
+    ty = np.clip((positions[:, 1] // t).astype(np.int64) + 1, 1, TY - 2)
+    tx = np.clip((positions[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
+    tile = ty * TX + tx
+    order = np.argsort(tile, kind="stable")
+    tile_sorted = tile[order]
+    # slot within tile = index since the start of the tile's run
+    first = np.concatenate([[0], np.nonzero(np.diff(tile_sorted))[0] + 1])
+    run_start = np.zeros(n, np.int64)
+    run_start[first] = first
+    run_start = np.maximum.accumulate(run_start)
+    slot = np.arange(n, dtype=np.int64) - run_start
+
+    keep = slot < cap
+    dropped = int(n - keep.sum())
+    flat = slot[keep] * (TY * TX) + tile_sorted[keep]
+    src = order[keep]
+
+    shape = (cap, TY, TX)
+    size = cap * TY * TX
+
+    def place(vals, fill=0.0, dtype=np.float32):
+        a = np.full(size, fill, dtype)
+        a[flat] = vals[src]
+        return jnp.asarray(a.reshape(shape))
+
+    return TileState(
+        x=place(positions[:, 0]), y=place(positions[:, 1]),
+        px=place(previous_positions[:, 0]), py=place(previous_positions[:, 1]),
+        radius=place(radii),
+        pid=place(pids, fill=-1, dtype=np.int32),
+        num_active=jnp.int32(n - dropped),
+        overflow_count=jnp.int32(dropped),
+    )
+
+
+def export_particles(state: TileState):
+    """Host download: (pid, positions, previous_positions, radii) of live
+    slots, sorted by pid (the GpuBuffer::download analog)."""
+    import numpy as np
+
+    occ = np.asarray(state.pid) >= 0
+    pid = np.asarray(state.pid)[occ]
+    order = np.argsort(pid)
+    pos = np.stack([np.asarray(state.x)[occ], np.asarray(state.y)[occ]], -1)
+    prev = np.stack([np.asarray(state.px)[occ], np.asarray(state.py)[occ]], -1)
+    rad = np.asarray(state.radius)[occ]
+    return pid[order], pos[order], prev[order], rad[order]
+
+
+# ---------------------------------------------------------------------------
+# collision: 3x3 shifted-window Jacobi pair sweep
+# ---------------------------------------------------------------------------
+
+def _shift_tiles(a, dy: int, dx: int):
+    """Neighbor tile view: a[:, ty+dy, tx+dx]. The empty border ring makes
+    the wrap-around rows/cols read as vacant slots."""
+    if dy == 0 and dx == 0:
+        return a
+    return jnp.roll(a, shift=(-dy, -dx), axis=(1, 2))
+
+
+def collide(state: TileState, config: SimConfig) -> TileState:
+    """One Jacobi relaxation over all pairs in the 3x3 tile neighborhoods."""
+    cap = state.dims[0]
+    stiffness = jnp.float32(config.stiffness)
+    occf = state.occupied().astype(jnp.float32)
+
+    x, y, r = state.x, state.y, state.radius
+    acc_x = jnp.zeros_like(x)
+    acc_y = jnp.zeros_like(y)
+
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            xo = _shift_tiles(x, dy, dx)
+            yo = _shift_tiles(y, dy, dx)
+            ro = _shift_tiles(r, dy, dx)
+            occo = _shift_tiles(occf, dy, dx)
+            self_tile = dy == 0 and dx == 0
+            for k in range(cap):
+                xk = xo[k][None]   # [1, TY, TX] broadcasts over my slots
+                yk = yo[k][None]
+                rk = ro[k][None]
+                ok = occo[k][None]
+
+                ddx = x - xk
+                ddy = y - yk
+                dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+                rsum = r + rk
+                pair = ((rsum * rsum > dist * dist)
+                        & (dist > MIN_DISTANCE)).astype(jnp.float32)
+                if self_tile:
+                    pair = pair * (1.0 - jax.nn.one_hot(
+                        k, cap, dtype=jnp.float32)[:, None, None])
+                w = pair * occf * ok
+                safe = jnp.maximum(dist, MIN_DISTANCE)
+                pen = (rsum - dist) * stiffness
+                # my half of the pair correction (inverse-mass split,
+                # collision_solver.wgsl:101-110)
+                wi = rk / jnp.maximum(rsum, MIN_DISTANCE)
+                acc_x = acc_x + ddx / safe * pen * wi * w
+                acc_y = acc_y + ddy / safe * pen * wi * w
+
+    return dataclasses.replace(state, x=x + acc_x, y=y + acc_y)
+
+
+# ---------------------------------------------------------------------------
+# integration (same math as ops/integrate.py, over tile slots)
+# ---------------------------------------------------------------------------
+
+def integrate(state: TileState, params: StepParams, config: SimConfig,
+              dt_scale: float = 1.0) -> TileState:
+    occ = state.occupied()
+    vel_x = state.x - state.px
+    vel_y = state.y - state.py
+
+    gx = jnp.float32(config.gravity[0])
+    gy = jnp.float32(config.gravity[1])
+    dxm = params.mouse_x - state.x
+    dym = params.mouse_y - state.y
+    dist = jnp.sqrt(dxm * dxm + dym * dym)
+    inv = jnp.where(dist > 1e-6, 1.0 / jnp.maximum(dist, 1e-6), 0.0)
+    strength = jnp.float32(config.mouse_strength) * params.mouse_pressed
+    ax = gx + dxm * inv * strength
+    ay = gy + dym * inv * strength
+
+    dt = params.dt * jnp.float32(dt_scale)
+    dt2 = dt * dt
+    nx = state.x + vel_x + ax * dt2
+    ny = state.y + vel_y + ay * dt2
+    nx = jnp.clip(nx, state.radius,
+                  jnp.float32(config.world_width) - state.radius)
+    ny = jnp.clip(ny, state.radius,
+                  jnp.float32(config.world_height) - state.radius)
+
+    return dataclasses.replace(
+        state,
+        x=jnp.where(occ, nx, state.x),
+        y=jnp.where(occ, ny, state.y),
+        px=jnp.where(occ, state.x, state.px),
+        py=jnp.where(occ, state.y, state.py),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relocation: compact movers -> claim free slots -> move
+# ---------------------------------------------------------------------------
+
+def _insert_compacted(state: TileState, ty_t, tx_t, fields, live):
+    """Claim free slots in target tiles for up to M compacted entries.
+
+    fields = (x, y, px, py, radius, pid), each [M].  Deterministic: per
+    claim round the lowest entry index wins a tile's free slot k.  Returns
+    (new state, placed mask).  All scatters are small ([M] updates) and
+    unique; tile arrays are updated through their flat [CAP*TY*TX] views.
+    """
+    cap, TY, TX = state.dims
+    ntiles = TY * TX
+    m = ty_t.shape[0]
+    tile_lin = ty_t * TX + tx_t
+    enc = jnp.arange(m, dtype=_I32)
+
+    flat = [a.reshape(-1) for a in
+            (state.x, state.y, state.px, state.py, state.radius)]
+    pid_flat = state.pid.reshape(-1)
+    placed = ~live
+
+    for k in range(cap):
+        base = k * ntiles
+        can = ~placed & (pid_flat[base + tile_lin] < 0)
+        claim = jnp.full(ntiles + 1, _BIG, _I32)
+        claim = claim.at[jnp.where(can, tile_lin, ntiles)].min(
+            jnp.where(can, enc, _BIG), mode="drop")
+        won = can & (claim[tile_lin] == enc)
+
+        dst = jnp.where(won, base + tile_lin, cap * ntiles)
+        for i in range(5):
+            flat[i] = flat[i].at[dst].set(
+                fields[i], mode="drop", unique_indices=True)
+        pid_flat = pid_flat.at[dst].set(
+            fields[5], mode="drop", unique_indices=True)
+        placed = placed | won
+
+    shape = state.dims
+    new_state = dataclasses.replace(
+        state,
+        x=flat[0].reshape(shape), y=flat[1].reshape(shape),
+        px=flat[2].reshape(shape), py=flat[3].reshape(shape),
+        radius=flat[4].reshape(shape), pid=pid_flat.reshape(shape))
+    return new_state, placed & live
+
+
+def relocate(state: TileState, config: SimConfig) -> TileState:
+    """Move boundary-crossing particles to their new tiles (deferred-safe)."""
+    t, TY, TX = tile_geometry(config)
+    m_cap = config.mover_capacity
+
+    occ = state.occupied()
+    ty_now = jax.lax.broadcasted_iota(_I32, state.x.shape, 1)
+    tx_now = jax.lax.broadcasted_iota(_I32, state.x.shape, 2)
+    ty_want, tx_want = _tile_of(state.x, state.y, jnp.float32(t))
+    ty_want = jnp.clip(ty_want, 1, TY - 2)
+    tx_want = jnp.clip(tx_want, 1, TX - 2)
+    mover = occ & ((ty_want != ty_now) | (tx_want != tx_now))
+
+    flat_mask = mover.reshape(-1)
+    size = flat_mask.shape[0]
+    n_movers = jnp.sum(flat_mask.astype(_I32))
+    (mov_idx,) = jnp.nonzero(flat_mask, size=m_cap, fill_value=size)
+    live = mov_idx < size
+    mov_idx = jnp.where(live, mov_idx, 0)
+
+    def take(a, fill):
+        v = a.reshape(-1)[mov_idx]
+        return jnp.where(live, v, jnp.asarray(fill, v.dtype))
+
+    fields = (take(state.x, 0), take(state.y, 0),
+              take(state.px, 0), take(state.py, 0),
+              take(state.radius, 0), take(state.pid, -1))
+    ty_t = take(ty_want, 0)
+    tx_t = take(tx_want, 0)
+    # movers beyond the buffer are deferred to the next step (safe: the 3x3
+    # neighborhood still covers a one-step-stale tile; never silent)
+    deferred = n_movers - jnp.sum(live.astype(_I32))
+
+    new_state, placed = _insert_compacted(state, ty_t, tx_t, fields, live)
+    # vacate PLACED movers' old slots
+    rm = jnp.where(placed, mov_idx, size)
+    pid_flat = new_state.pid.reshape(-1)
+    pid_flat = pid_flat.at[rm].set(_EMPTY, mode="drop", unique_indices=True)
+    not_placed = jnp.sum((live & ~placed).astype(_I32))
+    return dataclasses.replace(
+        new_state, pid=pid_flat.reshape(state.pid.shape),
+        overflow_count=state.overflow_count + deferred + not_placed)
+
+
+def insert_particles(state: TileState, config: SimConfig, positions, radii,
+                     pids) -> TileState:
+    """Spawn path: place new particles (device-side, jittable)."""
+    t, TY, TX = tile_geometry(config)
+    x = jnp.asarray(positions[:, 0], jnp.float32)
+    y = jnp.asarray(positions[:, 1], jnp.float32)
+    r = jnp.asarray(radii, jnp.float32)
+    ty_t, tx_t = _tile_of(x, y, jnp.float32(t))
+    ty_t = jnp.clip(ty_t, 1, TY - 2)
+    tx_t = jnp.clip(tx_t, 1, TX - 2)
+    live = jnp.ones(x.shape[0], bool)
+    fields = (x, y, x, y, r, jnp.asarray(pids, _I32))
+    new_state, placed = _insert_compacted(state, ty_t, tx_t, fields, live)
+    n_placed = jnp.sum(placed.astype(_I32))
+    return dataclasses.replace(
+        new_state,
+        num_active=new_state.num_active + n_placed,
+        overflow_count=new_state.overflow_count
+        + (x.shape[0] - n_placed))
+
+
+# ---------------------------------------------------------------------------
+# full step
+# ---------------------------------------------------------------------------
+
+def tiled_step_fn(state: TileState, params: StepParams,
+                  config: SimConfig) -> TileState:
+    """Frame order mirrors State::update (state.rs:115-134): relocate
+    (the grid-maintenance analog) -> solve -> integrate."""
+    with jax.named_scope("relocate"):
+        state = relocate(state, config)
+    for _ in range(config.substeps):
+        with jax.named_scope("solve_collisions"):
+            state = collide(state, config)
+        with jax.named_scope("particle_integration"):
+            state = integrate(state, params, config,
+                              dt_scale=1.0 / config.substeps)
+    return state
+
+
+def make_tiled_step(config: SimConfig):
+    return jax.jit(partial(tiled_step_fn, config=config), donate_argnums=0)

@@ -76,48 +76,69 @@ def phase_breakdown(config, state, params, repeats: int = 10) -> Dict[str, float
     collision_cell_builder.rs:227, collision_solver.rs:226-229,
     particle_integration.rs:81).
     """
+    from functools import partial
+
     from gpu_physics_engine_tpu.ops import collision, grid, integrate, resort
 
     active = state.active_mask()
     cell_size = config.cell_size(state.max_radius)
 
-    cand_fn = jax.jit(lambda: grid.build_candidates(
-        state.x, state.y, state.radius, active, cell_size))
-    cand = cand_fn()
-
     timings: Dict[str, float] = {}
 
-    def timeit(name, fn):
-        out = jax.block_until_ready(fn())  # compile + warm
+    def _drain(out):
+        # Host-fetch one scalar: the only reliable device sync on tunneled
+        # runtimes (block_until_ready can return before remote completion).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np_leaf = jnp.ravel(leaf)[0] if leaf.ndim else leaf
+        float(jnp.real(np_leaf.astype(jnp.float32)))
+
+    def timeit(name, fn, *args):
+        fn = jax.jit(fn)
+        out = fn(*args)
+        _drain(out)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(repeats):
-            out = fn()
-        jax.block_until_ready(out)
+            out = fn(*args)
+        _drain(out)
         timings[name] = (time.perf_counter() - t0) / repeats * 1e3
         return out
 
-    timeit("build_cell_ids", cand_fn)
+    # dispatch-overhead baseline: a null program through the same path
+    timeit("(dispatch overhead)", lambda x: x + 1.0, jnp.float32(0.0))
+
+    cand = timeit(
+        "build_cell_ids",
+        lambda x, y, r, a: grid.build_candidates(x, y, r, a, cell_size),
+        state.x, state.y, state.radius, active)
+
     if config.pipeline == "sorted":
-        pairs_fn = jax.jit(lambda: grid.sort_map(*grid.build_cell_ids(cand)))
-        sc, so = timeit("sort_map", pairs_fn)
-        occ_fn = jax.jit(lambda: collision.occupants_from_sorted(
-            sc, so, config.max_occupancy))
-        table = timeit("build_collision_cells", occ_fn)
+        sc, so = timeit(
+            "sort_map",
+            lambda c: grid.sort_map(*grid.build_cell_ids(c),
+                                    impl=config.sort_impl),
+            cand)
+        table = timeit(
+            "build_collision_cells",
+            partial(collision.occupants_from_sorted, K=config.max_occupancy),
+            sc, so)
     else:
-        buckets_fn = jax.jit(lambda: grid.build_buckets(cand, config))
-        buckets = timeit("build_buckets", buckets_fn)
-        occ_fn = jax.jit(lambda: collision.occupants_from_buckets(buckets, config))
-        table = timeit("build_collision_cells", occ_fn)
+        buckets = timeit(
+            "build_buckets", partial(grid.build_buckets, config=config), cand)
+        table = timeit(
+            "build_collision_cells",
+            partial(collision.occupants_from_buckets, config=config), buckets)
 
-    solve_fn = jax.jit(lambda: collision.solve_colored(
-        state.x, state.y, state.radius, table, jnp.float32(config.stiffness)))
-    timeit("solve_collisions", solve_fn)
+    timeit(
+        "solve_collisions",
+        partial(collision.solve_colored, stiffness=jnp.float32(config.stiffness)),
+        state.x, state.y, state.radius, table)
 
-    integ_fn = jax.jit(lambda: integrate.verlet_integrate(
-        state.x, state.y, state.px, state.py, state.radius, active,
-        params, config))
-    timeit("particle_integration", integ_fn)
+    timeit(
+        "particle_integration",
+        lambda x, y, px, py, r, a, p: integrate.verlet_integrate(
+            x, y, px, py, r, a, p, config),
+        state.x, state.y, state.px, state.py, state.radius, active, params)
 
-    resort_fn = jax.jit(lambda: resort.morton_resort(state, cell_size))
-    timeit("morton_resort", resort_fn)
+    timeit("morton_resort",
+           lambda s: resort.morton_resort(s, cell_size), state)
     return timings

@@ -1,0 +1,135 @@
+"""Persistent tiled engine tests: golden pair math, relocation, spawn,
+cross-pipeline agreement."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_physics_engine_tpu import Engine, SimConfig, StepParams
+from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+from gpu_physics_engine_tpu.ops import tiled
+
+
+def _cfg(**kw):
+    base = dict(max_particles=512, initial_particles=256,
+                world_width=64.0, world_height=64.0,
+                initial_radius=0.5, sort_interval_steps=0,
+                tile_cap=16, mover_capacity=1024)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_init_export_roundtrip():
+    rng = np.random.default_rng(0)
+    n = 100
+    positions = rng.uniform(1.0, 63.0, size=(n, 2)).astype(np.float32)
+    radii = rng.uniform(0.3, 0.5, size=n).astype(np.float32)
+    st = tiled.init_tiles(_cfg(), positions, radii)
+    assert int(st.num_active) == n
+    assert int(st.overflow_count) == 0
+    pid, pos, prev, rad = tiled.export_particles(st)
+    np.testing.assert_array_equal(pid, np.arange(n))
+    np.testing.assert_allclose(pos, positions, rtol=1e-6)
+    np.testing.assert_allclose(rad, radii, rtol=1e-6)
+
+
+def test_single_pair_collision_matches_fast_solver_math():
+    # two overlapping r=0.5 particles, 0.8 apart: each moves 0.06
+    positions = np.array([[10.0 - 0.4, 10.0], [10.0 + 0.4, 10.0]], np.float32)
+    radii = np.array([0.5, 0.5], np.float32)
+    cfg = _cfg(initial_particles=2)
+    st = tiled.init_tiles(cfg, positions, radii)
+    st = tiled.collide(st, cfg)
+    _, pos, _, _ = tiled.export_particles(st)
+    np.testing.assert_allclose(pos[0], [10.0 - 0.46, 10.0], rtol=1e-5)
+    np.testing.assert_allclose(pos[1], [10.0 + 0.46, 10.0], rtol=1e-5)
+
+
+def test_pair_across_tile_boundary():
+    cfg = _cfg(initial_particles=2)
+    t, _, _ = tiled.tile_geometry(cfg)
+    b = 2 * t  # a tile boundary
+    positions = np.array([[b - 0.3, 10.0], [b + 0.3, 10.0]], np.float32)
+    radii = np.array([0.5, 0.5], np.float32)
+    st = tiled.init_tiles(cfg, positions, radii)
+    st = tiled.collide(st, cfg)
+    _, pos, _, _ = tiled.export_particles(st)
+    assert pos[1, 0] - pos[0, 0] > 0.6  # pushed apart across the boundary
+
+
+def test_relocation_moves_particle_between_tiles():
+    cfg = _cfg(initial_particles=1)
+    t, TY, TX = tiled.tile_geometry(cfg)
+    positions = np.array([[0.5 * t, 0.5 * t]], np.float32)
+    st = tiled.init_tiles(cfg, positions, np.array([0.5], np.float32))
+    # teleport the particle two tiles right (simulating motion)
+    st = tiled.TileState(
+        x=st.x + jnp.where(st.pid >= 0, 2 * t, 0.0), y=st.y,
+        px=st.px, py=st.py, radius=st.radius, pid=st.pid,
+        num_active=st.num_active, overflow_count=st.overflow_count)
+    st2 = tiled.relocate(st, cfg)
+    assert int(st2.overflow_count) == 0
+    # it now lives in tile (1, 3): occupied slot's tx changed
+    occ = np.asarray(st2.pid) >= 0
+    k, ty, tx = np.nonzero(occ)
+    assert len(k) == 1
+    assert tx[0] == 3 and ty[0] == 1
+    _, pos, _, _ = tiled.export_particles(st2)
+    np.testing.assert_allclose(pos[0], [2.5 * t, 0.5 * t], rtol=1e-6)
+
+
+def test_matches_fast_engine_in_dilute_scene():
+    """Collision-free: tiled trajectories == array-engine trajectories."""
+    cfg = _cfg(initial_particles=32, gravity=(3.0, -2.0))
+    rng = np.random.default_rng(1)
+    positions = rng.uniform(8.0, 56.0, size=(32, 2)).astype(np.float32)
+    radii = np.full(32, 0.5, np.float32)
+
+    e1 = Engine.from_arrays(cfg, positions, radii)
+    e2 = TiledEngine.from_arrays(cfg, positions, radii)
+    s1 = e1.run(20)
+    e2.run(20)
+    p1 = np.stack([np.asarray(s1.x)[:32], np.asarray(s1.y)[:32]], -1)
+    p2 = e2.positions()
+    np.testing.assert_allclose(p2, p1, atol=1e-5)
+
+
+def test_dense_scene_overlap_decreases_and_everyone_survives():
+    cfg = _cfg(initial_particles=256, substeps=2)
+    eng = TiledEngine(cfg, seed=0)
+    n0 = eng.num_particles()
+
+    def total_pen(pos):
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        return np.triu(np.maximum(1.0 - d, 0.0), 1).sum()
+
+    pen0 = total_pen(eng.positions())
+    eng.run(40)
+    assert eng.num_particles() == n0
+    pos = eng.positions()
+    assert np.isfinite(pos).all()
+    assert total_pen(pos) < pen0
+    r = eng.radii()
+    assert (pos[:, 0] >= r - 1e-4).all()
+    assert (pos[:, 0] <= 64.0 - r + 1e-4).all()
+
+
+def test_spawn_and_attractor():
+    cfg = _cfg(initial_particles=64, tile_max_radius=0.5)
+    eng = TiledEngine(cfg, seed=2)
+    eng.spawn_at((32.0, 32.0), count=20, verbose=False)
+    assert eng.num_particles() == 84
+    eng.press_mouse((32.0, 32.0))
+    d0 = np.linalg.norm(eng.positions() - (32.0, 32.0), axis=-1).mean()
+    eng.run(20)
+    d1 = np.linalg.norm(eng.positions() - (32.0, 32.0), axis=-1).mean()
+    assert d1 < d0
+    assert eng.num_particles() == 84
+
+
+def test_tiled_deterministic():
+    cfg = _cfg(initial_particles=128)
+    a = TiledEngine(cfg, seed=7); a.run(25)
+    b = TiledEngine(cfg, seed=7); b.run(25)
+    np.testing.assert_array_equal(np.asarray(a.state.x), np.asarray(b.state.x))
+    np.testing.assert_array_equal(np.asarray(a.state.pid), np.asarray(b.state.pid))
