@@ -8,13 +8,14 @@ Baseline (BASELINE.md, reference README.md:80-87, RX 6800 XT):
 North star: 4M particles at <= 22 ms/step on one TPU chip.
 vs_baseline = baseline_ms / our_ms at 4M (>1 means faster than baseline).
 
-Methodology: the flagship config (reference world 3048x1048, radius-0.5
-particles, colored Gauss-Seidel solver, Morton resort cadence 240 steps),
-jitted step with donated buffers; warmup then timed windows with a single
-device sync per window (per-step sync would measure tunnel latency, not
-device time).  Step time here is simulation only — the reference's numbers
-include its render pass, so the comparison slightly favors the reference's
-critics; see BASELINE.md.
+Methodology: measures the two production pipelines — the gather-free
+sort+shift solver (solver="fast") and the persistent tiled engine
+(pipeline="tiled") — and reports the better per size.  Every timing window
+ends with a host fetch of a scalar from the final state: on tunneled TPU
+runtimes `block_until_ready` can return before remote completion
+(DESIGN.md §6), so fetch-sync is the only honest clock.  Step time is
+simulation only; the reference's frame time includes its render pass
+(BASELINE.md).
 """
 
 import json
@@ -22,50 +23,66 @@ import time
 
 import jax
 
-from gpu_physics_engine_tpu import Engine, SimConfig
-
-BASELINE_MS = {1_000_000: 3.66, 4_194_304: 22.70}
-SIZES = [1_000_000, 4_194_304]
-WARMUP = 4
-WINDOW = 50
-TRIALS = 3
+BASELINE_MS = {1_048_576: 3.66, 4_194_304: 22.70}
+SIZES = [1_048_576, 4_194_304]
+WARMUP = 3
+WINDOW = 25
+TRIALS = 2
 
 
-def measure(n: int) -> float:
-    cfg = SimConfig(max_particles=n, initial_particles=n)
-    eng = Engine(cfg, seed=0)
+def _measure_engine(make_engine, drain) -> float:
+    eng = make_engine()
     eng.run(WARMUP)
-    _ = float(eng.state.x[0])  # drain the pipeline for real
+    drain(eng)
     best = float("inf")
     for _ in range(TRIALS):
         t0 = time.perf_counter()
         eng.run(WINDOW)
-        # Fetch a scalar of the final state to the host: proof the whole
-        # window executed (block_until_ready alone proved unreliable over
-        # the device tunnel).
-        _ = float(eng.state.x[0])
+        drain(eng)
         best = min(best, (time.perf_counter() - t0) / WINDOW * 1e3)
     return best
 
 
+def measure_fast(n: int) -> float:
+    from gpu_physics_engine_tpu import Engine, SimConfig
+    cfg = SimConfig(max_particles=n, initial_particles=n, solver="fast")
+    return _measure_engine(lambda: Engine(cfg, seed=0),
+                           lambda e: float(e.state.x[0]))
+
+
+def measure_tiled(n: int) -> float:
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    cfg = SimConfig(max_particles=n, initial_particles=n,
+                    pipeline="tiled", tile_cap=16)
+    return _measure_engine(lambda: TiledEngine(cfg, seed=0),
+                           lambda e: float(e.state.x[0, 0, 0]))
+
+
 def main():
-    results = {}
+    detail = {}
     for n in SIZES:
-        results[n] = measure(n)
-    ms_4m = results[4_194_304]
+        entry = {}
+        for name, fn in (("fast", measure_fast), ("tiled", measure_tiled)):
+            try:
+                entry[name] = round(fn(n), 3)
+            except Exception as e:  # keep the bench alive if one path dies
+                entry[name] = f"error: {type(e).__name__}: {e}"[:120]
+        numeric = {k: v for k, v in entry.items() if isinstance(v, float)}
+        best = min(numeric.values()) if numeric else float("nan")
+        detail[str(n)] = {
+            **entry,
+            "best_ms_per_step": best,
+            "baseline_ms": BASELINE_MS[n],
+            "particle_steps_per_sec": round(n / best * 1e3) if numeric else 0,
+        }
+    ms_4m = detail[str(4_194_304)]["best_ms_per_step"]
     out = {
         "metric": "frame_time_ms_at_4M_particles",
-        "value": round(ms_4m, 4),
+        "value": round(ms_4m, 3),
         "unit": "ms/step",
-        "vs_baseline": round(BASELINE_MS[4_194_304] / ms_4m, 2),
-        "detail": {
-            f"{n}": {
-                "ms_per_step": round(ms, 4),
-                "baseline_ms": BASELINE_MS[n],
-                "particle_steps_per_sec": round(n / ms * 1e3),
-            }
-            for n, ms in results.items()
-        },
+        "vs_baseline": round(BASELINE_MS[4_194_304] / ms_4m, 3),
+        "detail": detail,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

@@ -42,8 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dt", type=float, default=1.0 / 60.0)
     p.add_argument("--sort-interval", type=int, default=240,
                    help="Morton resort cadence in steps (4s at 60fps parity)")
-    p.add_argument("--solver", choices=("colored", "jacobi"), default="colored")
-    p.add_argument("--pipeline", choices=("sorted", "bucket"), default="sorted")
+    p.add_argument("--solver", choices=("colored", "fast", "jacobi"),
+                   default="colored")
+    p.add_argument("--pipeline", choices=("sorted", "bucket", "tiled"),
+                   default="sorted")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--attract", type=float, nargs=3, metavar=("STEP", "X", "Y"),
                    action="append", default=[],
@@ -91,7 +93,11 @@ def main(argv=None) -> dict:
             substeps=args.substeps,
             sort_interval_steps=args.sort_interval,
             solver=args.solver, pipeline=args.pipeline)
-        eng = Engine(cfg, seed=args.seed)
+        if args.pipeline == "tiled":
+            from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+            eng = TiledEngine(cfg, seed=args.seed)
+        else:
+            eng = Engine(cfg, seed=args.seed)
 
     viewer = None
     if args.render_every:
@@ -119,11 +125,16 @@ def main(argv=None) -> dict:
             if viewer and step_i % args.render_every == 0:
                 frame = viewer.render_engine(eng)
                 viewer.save_png(f"{args.out}/frame_{step_i:06d}.png", frame)
-    _ = float(eng.state.x[0])  # drain the device pipeline
+    _ = eng.num_particles()  # drain the device pipeline
 
     if args.checkpoint:
-        from gpu_physics_engine_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(args.checkpoint, eng.state, eng.config)
+        if args.pipeline == "tiled":
+            from gpu_physics_engine_tpu.utils.checkpoint import (
+                save_tiled_checkpoint)
+            save_tiled_checkpoint(args.checkpoint, eng.state, eng.config)
+        else:
+            from gpu_physics_engine_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(args.checkpoint, eng.state, eng.config)
     if args.chrometrace:
         prof.export_chrometrace(args.chrometrace)
 

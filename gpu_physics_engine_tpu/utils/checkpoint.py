@@ -43,3 +43,34 @@ def load_checkpoint(path: str) -> Tuple[ParticleState, SimConfig]:
         fields = {f.name: jnp.asarray(z[f.name])
                   for f in dataclasses.fields(ParticleState)}
     return ParticleState(**fields), config
+
+
+# ---- tiled pipeline (ops/tiled.py): checkpoints store the particle
+# arrays (pid-ordered), not the tile layout — re-tiled on load ----
+
+def save_tiled_checkpoint(path: str, state, config: SimConfig) -> None:
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+
+    pid, pos, prev, rad = export_particles(state)
+    np.savez_compressed(
+        path,
+        __version__=np.int32(_FORMAT_VERSION),
+        __kind__=np.frombuffer(b"tiled", dtype=np.uint8),
+        __config__=np.frombuffer(
+            json.dumps(dataclasses.asdict(config)).encode(), dtype=np.uint8),
+        pid=pid, positions=pos, previous_positions=prev, radii=rad,
+        overflow=np.asarray(state.overflow_count))
+
+
+def load_tiled_checkpoint(path: str):
+    from gpu_physics_engine_tpu.ops import tiled
+
+    with np.load(path) as z:
+        assert bytes(z["__kind__"].tobytes()) == b"tiled"
+        cfg_dict = json.loads(bytes(z["__config__"].tobytes()).decode())
+        cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
+        config = SimConfig(**cfg_dict)
+        state = tiled.init_tiles(
+            config, z["positions"], z["radii"], pids=z["pid"],
+            previous_positions=z["previous_positions"])
+    return state, config

@@ -113,3 +113,22 @@ def test_headless_cli_small_run(tmp_path, capsys):
     assert int(st.num_active) == 300
     captured = capsys.readouterr().out
     assert "Average update time" in captured
+
+
+def test_tiled_checkpoint_roundtrip(tmp_path):
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    from gpu_physics_engine_tpu.utils.checkpoint import (
+        load_tiled_checkpoint, save_tiled_checkpoint)
+    cfg = SimConfig(max_particles=256, initial_particles=128,
+                    world_width=64.0, world_height=64.0,
+                    initial_radius=0.5, pipeline="tiled", tile_cap=16)
+    eng = TiledEngine(cfg, seed=0)
+    eng.run(10)
+    path = str(tmp_path / "tiled.npz")
+    save_tiled_checkpoint(path, eng.state, cfg)
+    st2, cfg2 = load_tiled_checkpoint(path)
+    assert cfg2 == cfg
+    eng2 = TiledEngine(cfg2, seed=0, initial_state=st2)
+    a = eng.run(5)
+    eng2.run(5)
+    np.testing.assert_allclose(eng.positions(), eng2.positions(), atol=1e-6)
