@@ -99,6 +99,9 @@ class SimConfig:
     tile_multiplier: float = 4.4
     tile_cap: int = 24            # particle slots per tile
     mover_capacity: int = 1 << 15  # per-step tile-crossing buffer
+    # collide backend: "pallas" (ops/tiled_pallas.py row kernel), "jnp",
+    # or "auto" (pallas on TPU, jnp elsewhere — interpret mode is test-only)
+    tiled_collide: str = "auto"
     # largest radius the tiling must accommodate; None -> initial_radius
     # (set to spawn_radius_max when interactive spawning is used)
     tile_max_radius: float | None = None

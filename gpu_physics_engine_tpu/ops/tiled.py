@@ -380,11 +380,19 @@ def tiled_step_fn(state: TileState, params: StepParams,
                   config: SimConfig) -> TileState:
     """Frame order mirrors State::update (state.rs:115-134): relocate
     (the grid-maintenance analog) -> solve -> integrate."""
+    use_pallas = config.tiled_collide == "pallas" or (
+        config.tiled_collide == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        from gpu_physics_engine_tpu.ops.tiled_pallas import collide_pallas
+        collide_fn = collide_pallas
+    else:
+        collide_fn = collide
+
     with jax.named_scope("relocate"):
         state = relocate(state, config)
     for _ in range(config.substeps):
         with jax.named_scope("solve_collisions"):
-            state = collide(state, config)
+            state = collide_fn(state, config)
         with jax.named_scope("particle_integration"):
             state = integrate(state, params, config,
                               dt_scale=1.0 / config.substeps)

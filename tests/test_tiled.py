@@ -133,3 +133,17 @@ def test_tiled_deterministic():
     b = TiledEngine(cfg, seed=7); b.run(25)
     np.testing.assert_array_equal(np.asarray(a.state.x), np.asarray(b.state.x))
     np.testing.assert_array_equal(np.asarray(a.state.pid), np.asarray(b.state.pid))
+
+
+def test_pallas_collide_matches_jnp():
+    from gpu_physics_engine_tpu.ops.tiled_pallas import collide_pallas
+    rng = np.random.default_rng(3)
+    n = 150
+    cfg = _cfg(initial_particles=n, tile_cap=8)
+    positions = rng.uniform(1.0, 63.0, size=(n, 2)).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+    st = tiled.init_tiles(cfg, positions, radii)
+    a = tiled.collide(st, cfg)
+    b = collide_pallas(st, cfg)  # interpret mode on CPU
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-6)
