@@ -111,7 +111,14 @@ def solve_fast(x, y, radius, active, cell_size, config: SimConfig
         (cells, idx, px, py, pr), num_keys=1, is_stable=False)
     valid = cells_s != _U32(UNUSED_CELL_ID)
 
-    # --- pair sweep: window offsets d = 1..K-1 within equal-cell runs ---
+    # --- pair sweep: window offsets d = 1..K-1 within equal-cell runs.
+    # A pair can co-occupy several cells (home + phantoms); under Jacobi
+    # summation applying it once per shared cell overshoots and oscillates
+    # (the reference's sequential GS re-reads positions between duplicate
+    # applications, so it tolerates them).  Canonical dedupe: apply the
+    # pair only in the cell containing its CONTACT POINT
+    # p = a + (b-a)*ra/(ra+rb), which lies strictly inside both circles and
+    # is therefore always one of the shared cells. ---
     acc_x = jnp.zeros_like(xs)
     acc_y = jnp.zeros_like(ys)
     for d in range(1, K):
@@ -125,6 +132,14 @@ def solve_fast(x, y, radius, active, cell_size, config: SimConfig
         dist = jnp.sqrt(dx * dx + dy * dy)
         rsum = rs + rj
         hit = same & (rsum * rsum > dist * dist) & (dist > MIN_DISTANCE)
+
+        # canonical-cell dedupe (see above)
+        t_contact = rs / jnp.maximum(rsum, MIN_DISTANCE)
+        cpx = xs - dx * t_contact
+        cpy = ys - dy * t_contact
+        ccx = jnp.floor(cpx / cell_size).astype(_I32)
+        ccy = jnp.floor(cpy / cell_size).astype(_I32)
+        hit = hit & (morton.morton_encode(ccx, ccy) == cells_s)
         safe = jnp.maximum(dist, MIN_DISTANCE)
         pen = (rsum - dist) * stiffness
         cxv = dx / safe * pen

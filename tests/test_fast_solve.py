@@ -11,8 +11,9 @@ CELL = 2.2
 
 
 def _jacobi_golden(positions, radii, cell_size, stiffness=0.6):
-    """Scalar model: per-pair corrections summed (one application per shared
-    cell, both sides), all applied simultaneously."""
+    """Scalar model: unique-pair corrections summed, applied simultaneously.
+    Pairs are discovered per shared cell but deduped to the cell containing
+    the contact point (mirrors ops/fast_solve.py's canonical-cell rule)."""
     positions = np.asarray(positions, np.float64)
     radii = np.asarray(radii, np.float64)
     cells, objs = ref.build_cell_ids(positions, radii, cell_size)
@@ -21,7 +22,7 @@ def _jacobi_golden(positions, radii, cell_size, stiffness=0.6):
         if c != ref.UNUSED:
             occupants.setdefault(int(c), []).append(int(o))
     delta = np.zeros_like(positions)
-    for occ in occupants.values():
+    for cell, occ in occupants.items():
         for a in range(len(occ)):
             for b in range(a + 1, len(occ)):
                 i, j = occ[a], occ[b]
@@ -29,6 +30,12 @@ def _jacobi_golden(positions, radii, cell_size, stiffness=0.6):
                 dist = np.sqrt((d * d).sum())
                 rsum = radii[i] + radii[j]
                 if rsum ** 2 > dist ** 2 and dist > 1e-4:
+                    contact = positions[i] - d * (radii[i] / rsum)
+                    ccell = ref.morton_encode(
+                        int(np.floor(np.float32(contact[0]) / np.float32(cell_size))),
+                        int(np.floor(np.float32(contact[1]) / np.float32(cell_size))))
+                    if ccell != cell:
+                        continue  # counted in its canonical cell only
                     corr = d / dist * (rsum - dist) * stiffness
                     delta[i] += corr * (radii[j] / rsum)
                     delta[j] -= corr * (radii[i] / rsum)
