@@ -142,3 +142,37 @@ def phase_breakdown(config, state, params, repeats: int = 10) -> Dict[str, float
     timeit("morton_resort",
            lambda s: resort.morton_resort(s, cell_size), state)
     return timings
+
+
+def tiled_phase_breakdown(config, state, params, repeats: int = 5) -> Dict[str, float]:
+    """Per-phase device ms for the persistent tiled pipeline."""
+    from functools import partial
+
+    from gpu_physics_engine_tpu.ops import tiled
+    from gpu_physics_engine_tpu.ops.tiled_pallas import collide_pallas
+
+    timings: Dict[str, float] = {}
+
+    def _drain(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np_leaf = jnp.ravel(leaf)[0] if leaf.ndim else leaf
+        float(jnp.real(np_leaf.astype(jnp.float32)))
+
+    def timeit(name, fn, *args):
+        fn = jax.jit(fn)
+        out = fn(*args)
+        _drain(out)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = fn(*args)
+        _drain(out)
+        timings[name] = (time.perf_counter() - t0) / repeats * 1e3
+        return out
+
+    timeit("(dispatch overhead)", lambda s: s.x + 1.0, state)
+    timeit("relocate", partial(tiled.relocate, config=config), state)
+    timeit("collide (jnp)", partial(tiled.collide, config=config), state)
+    timeit("collide (pallas)", partial(collide_pallas, config=config), state)
+    timeit("particle_integration",
+           lambda s, p: tiled.integrate(s, p, config), state, params)
+    return timings
