@@ -1,0 +1,226 @@
+"""Multi-chip persistent tiled pipeline: tile-row slabs + halo-row exchange.
+
+Shards the tiled engine (ops/tiled.py) over a 1D mesh by cutting the tile
+grid into horizontal slabs of rows.  Because the engine's storage IS the
+spatial structure, multi-chip communication becomes beautifully regular —
+fixed-shape tile rows instead of the packed particle buffers the sorted
+pipeline needs (parallel/halo.py):
+
+  1. **Collision halo**: each chip ppermutes its first/last tile row
+     (x, y, r, occupancy — [CAP, 1, TX] each) to its neighbors, prepends/
+     appends the received rows, runs the SAME collide kernel on the
+     extended slab, and keeps the middle.  One row of halo suffices: the
+     3x3 stencil reads one tile in each direction.
+  2. **Integration**: purely local.
+  3. **Relocation**: movers whose target row stays in the slab use the
+     local claim machinery (ops/tiled.py::_insert_compacted); movers that
+     cross a slab boundary (a subset of row-crossers, ~0.01%/step) are
+     packed into fixed per-direction buffers, ppermuted, and inserted on
+     the receiving chip.  Buffer overflow defers local movers (retry next
+     step) and counts cross-chip drops — nothing is ever silent.
+
+The global tile grid keeps its empty border ring; slab 0's top halo and
+slab n-1's bottom halo read it, so world edges need no special casing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpu_physics_engine_tpu.core.config import SimConfig
+from gpu_physics_engine_tpu.core.state import StepParams
+from gpu_physics_engine_tpu.ops import tiled
+from gpu_physics_engine_tpu.ops.tiled import TileState, _tile_of
+
+_I32 = jnp.int32
+
+
+def sharded_tile_geometry(config: SimConfig, n_shards: int):
+    """(tile_edge, TY_padded, TX, rows_per_shard). TY is padded so every
+    shard owns the same number of rows; pad rows sit above the world and
+    stay empty (the border ring logic already keeps them vacant)."""
+    t, TY, TX = tiled.tile_geometry(config)
+    rows = int(math.ceil(TY / n_shards))
+    return t, rows * n_shards, TX, rows
+
+
+def init_sharded_tiles(config: SimConfig, mesh: Mesh, positions, radii
+                       ) -> TileState:
+    """Build a TileState whose row axis is sharded over the mesh."""
+    axis = config.mesh_axis
+    n = mesh.devices.size
+    t, TYp, TX, _rows = sharded_tile_geometry(config, n)
+    cap = config.tile_cap
+
+    # reuse the host-side tiler, then pad rows to the sharded height
+    st = tiled.init_tiles(config, positions, radii)
+    pad = TYp - st.dims[1]
+
+    def padrow(a, fill):
+        return np.concatenate(
+            [np.asarray(a),
+             np.full((cap, pad, TX), fill, np.asarray(a).dtype)], axis=1)
+
+    shard = NamedSharding(mesh, P(None, axis, None))
+    put = lambda a, fill=0.0: jax.device_put(padrow(a, fill), shard)
+    rep = NamedSharding(mesh, P())
+    return TileState(
+        x=put(st.x), y=put(st.y), px=put(st.px), py=put(st.py),
+        radius=put(st.radius), pid=put(st.pid, fill=-1),
+        num_active=jax.device_put(st.num_active, rep),
+        overflow_count=jax.device_put(st.overflow_count, rep),
+    )
+
+
+def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
+    axis = config.mesh_axis
+    n = mesh.devices.size
+    t, TYp, TX, rows = sharded_tile_geometry(config, n)
+    cap = config.tile_cap
+    m_cap = config.migration_capacity
+    up_perm = [(i, i - 1) for i in range(1, n)]
+    dn_perm = [(i, i + 1) for i in range(n - 1)]
+
+    def exchange_rows(field, fill):
+        """(row_from_above, row_from_below), each [cap, 1, TX]."""
+        first = field[:, :1, :]
+        last = field[:, -1:, :]
+        from_below = jax.lax.ppermute(first, axis, up_perm)   # my bottom halo
+        from_above = jax.lax.ppermute(last, axis, dn_perm)    # my top halo
+        if fill != 0.0:
+            pass  # ppermute zero-fills missing edges; occ/pid zeros = vacant
+        return from_above, from_below
+
+    def local_step(x, y, px, py, r, pid, num_active, dropped,
+                   params: StepParams):
+        d = jax.lax.axis_index(axis)
+        row0 = d.astype(_I32) * rows  # my first global row
+        local = TileState(
+            x=x, y=y, px=px, py=py, radius=r, pid=pid,
+            num_active=num_active, overflow_count=dropped)
+
+        for _ in range(config.substeps):
+            # ---- 1. halo rows + collide on the extended slab ----
+            occ = (local.pid >= 0).astype(jnp.float32)
+            ext_fields = []
+            for f in (local.x, local.y, local.radius, occ):
+                top, bot = exchange_rows(f, 0.0)
+                ext_fields.append(jnp.concatenate([top, f, bot], axis=1))
+            ex, ey, er, eocc = ext_fields
+            ext = TileState(
+                x=ex, y=ey, px=ex, py=ey, radius=er,
+                pid=jnp.where(eocc > 0, 0, -1).astype(_I32),
+                num_active=local.num_active,
+                overflow_count=local.overflow_count)
+            use_pallas = config.tiled_collide == "pallas" or (
+                config.tiled_collide == "auto"
+                and jax.default_backend() == "tpu")
+            if use_pallas:
+                from gpu_physics_engine_tpu.ops.tiled_pallas import (
+                    collide_pallas)
+                solved = collide_pallas(ext, config)
+            else:
+                solved = tiled.collide(ext, config)
+            local = dataclasses.replace(
+                local, x=solved.x[:, 1:-1, :], y=solved.y[:, 1:-1, :])
+
+            # ---- 2. integrate (local) ----
+            local = tiled.integrate(local, params, config,
+                                    dt_scale=1.0 / config.substeps)
+
+        # ---- 3. relocation ----
+        occ = local.pid >= 0
+        ty_want_g, tx_want = _tile_of(local.x, local.y, jnp.float32(t))
+        ty_want_g = jnp.clip(ty_want_g, 1, TYp - 2)
+        tx_want = jnp.clip(tx_want, 1, TX - 2)
+        ty_now_l = jax.lax.broadcasted_iota(_I32, local.x.shape, 1)
+        ty_want_l = ty_want_g - row0
+        mover = occ & ((ty_want_l != ty_now_l)
+                       | (tx_want != jax.lax.broadcasted_iota(
+                           _I32, local.x.shape, 2)))
+        stays = (ty_want_l >= 0) & (ty_want_l < rows)
+        go_up = mover & (ty_want_l < 0)
+        go_dn = mover & (ty_want_l >= rows)
+        local_move = mover & stays
+
+        flat_size = cap * rows * TX
+
+        def pack(mask, extra):
+            """Compact masked slots into [m_cap] field buffers."""
+            fm = mask.reshape(-1)
+            (idx,) = jnp.nonzero(fm, size=m_cap, fill_value=flat_size)
+            live = idx < flat_size
+            idx = jnp.where(live, idx, 0)
+
+            def take(a, fill):
+                v = a.reshape(-1)[idx]
+                return jnp.where(live, v, jnp.asarray(fill, v.dtype))
+
+            fields = (take(local.x, 0), take(local.y, 0),
+                      take(local.px, 0), take(local.py, 0),
+                      take(local.radius, 0), take(local.pid, -1))
+            extras = tuple(take(e, 0) for e in extra)
+            n_mask = jnp.sum(fm.astype(_I32))
+            return idx, live, fields, extras, n_mask
+
+        total_drop = jnp.int32(0)
+
+        # local movers first (claim free slots in my slab)
+        idx_l, live_l, fields_l, (tyl, txl), n_local = pack(
+            local_move, (jnp.clip(ty_want_l, 0, rows - 1), tx_want))
+        total_drop += n_local - jnp.sum(live_l.astype(_I32))
+        new_local, placed = tiled._insert_compacted(
+            local, tyl, txl, fields_l, live_l)
+        rm = jnp.where(placed, idx_l, flat_size)
+        pidf = new_local.pid.reshape(-1).at[rm].set(
+            -1, mode="drop", unique_indices=True)
+        local = dataclasses.replace(new_local, pid=pidf.reshape(local.pid.shape))
+
+        # cross-slab movers: pack, remove, ppermute, insert
+        for mask, perm, into_row in (
+                (go_up, up_perm, rows - 1), (go_dn, dn_perm, 0)):
+            idx_c, live_c, fields_c, (txc,), n_cross = pack(mask, (tx_want,))
+            total_drop += n_cross - jnp.sum(live_c.astype(_I32))
+            # remove senders (receiver may drop: counted via psum below)
+            rm = jnp.where(live_c, idx_c, flat_size)
+            pidf = local.pid.reshape(-1).at[rm].set(
+                -1, mode="drop", unique_indices=True)
+            local = dataclasses.replace(local, pid=pidf.reshape(local.pid.shape))
+
+            sent = [jax.lax.ppermute(v, axis, perm)
+                    for v in (*fields_c, txc, live_c.astype(_I32))]
+            rf, rtx, rlive = sent[:6], sent[6], sent[7] > 0
+            rty = jnp.full((m_cap,), into_row, _I32)
+            local, placed_c = tiled._insert_compacted(
+                local, rty, jnp.where(rlive, rtx, 0), tuple(rf), rlive)
+            total_drop += jnp.sum((rlive & ~placed_c).astype(_I32))
+
+        n_alive = jax.lax.psum(
+            jnp.sum((local.pid >= 0).astype(_I32)), axis)
+        total_drop_g = jax.lax.psum(total_drop, axis)
+        return (local.x, local.y, local.px, local.py, local.radius,
+                local.pid, n_alive, dropped + total_drop_g)
+
+    sharded = P(None, axis, None)
+    rep = P()
+    mapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(sharded,) * 6 + (rep, rep, rep),
+        out_specs=(sharded,) * 6 + (rep, rep),
+    )
+
+    @jax.jit
+    def step(state: TileState, params: StepParams) -> TileState:
+        out = mapped(state.x, state.y, state.px, state.py, state.radius,
+                     state.pid, state.num_active, state.overflow_count,
+                     params)
+        return TileState(*out)
+
+    return step

@@ -147,3 +147,62 @@ def test_sharded_resort_compacts_and_preserves(mesh8):
         if a.any():
             last_true = np.nonzero(a)[0][-1]
             assert a[:last_true + 1].all() or True  # compaction is best-effort
+
+
+# ---------------- sharded tiled pipeline ----------------
+
+def _tcfg(**kw):
+    base = dict(max_particles=512, initial_particles=256,
+                world_width=64.0, world_height=64.0,
+                initial_radius=0.5, sort_interval_steps=0,
+                pipeline="tiled", tile_cap=12, migration_capacity=64,
+                tiled_collide="jnp")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_sharded_tiled_matches_single_chip(mesh8):
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+
+    cfg = _tcfg()
+    rng = np.random.default_rng(0)
+    n = 200
+    positions = np.stack([
+        rng.uniform(1.0, 63.0, n), rng.uniform(1.0, 63.0, n)], -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+
+    single = TiledEngine.from_arrays(cfg, positions, radii)
+    sstate = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+    sstep = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+    params = StepParams.make(cfg.dt)
+
+    single.run(15)
+    for _ in range(15):
+        sstate = sstep(sstate, params)
+
+    assert int(sstate.num_active) == n
+    assert int(sstate.overflow_count) == 0
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    pid_s, pos_s, _, _ = export_particles(sstate)
+    np.testing.assert_array_equal(pid_s, np.arange(n))
+    np.testing.assert_allclose(pos_s, single.positions(), atol=1e-5)
+
+
+def test_sharded_tiled_cross_slab_migration(mesh8):
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+
+    cfg = _tcfg(initial_particles=1, max_particles=8,
+                gravity=(0.0, 300.0))  # accelerate +y across row slabs
+    positions = np.array([[32.0, 2.0]], np.float32)
+    radii = np.array([0.5], np.float32)
+    sstate = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+    sstep = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+    params = StepParams.make(cfg.dt)
+    for _ in range(40):
+        sstate = sstep(sstate, params)
+    assert int(sstate.num_active) == 1
+    assert int(sstate.overflow_count) == 0
+    _, pos, _, _ = export_particles(sstate)
+    assert pos[0, 1] > 30.0  # crossed most of the world upward
