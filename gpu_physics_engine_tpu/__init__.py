@@ -31,4 +31,15 @@ from gpu_physics_engine_tpu.core.engine import Engine
 
 __version__ = "0.1.0"
 
-__all__ = ["SimConfig", "ParticleState", "StepParams", "Engine", "__version__"]
+
+def make_engine(config: SimConfig, seed: int = 0):
+    """Construct the right engine for config.pipeline ("tiled" gets the
+    persistent-tile engine; "sorted"/"bucket" the array engine)."""
+    if config.pipeline == "tiled":
+        from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+        return TiledEngine(config, seed=seed)
+    return Engine(config, seed=seed)
+
+
+__all__ = ["SimConfig", "ParticleState", "StepParams", "Engine",
+           "make_engine", "__version__"]

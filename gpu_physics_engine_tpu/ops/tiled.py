@@ -320,11 +320,26 @@ def relocate(state: TileState, config: SimConfig) -> TileState:
     tx_want = jnp.clip(tx_want, 1, TX - 2)
     mover = occ & ((ty_want != ty_now) | (tx_want != tx_now))
 
+    cap, TY, TX = state.dims
+    ntiles = TY * TX
+    size = cap * ntiles
     flat_mask = mover.reshape(-1)
-    size = flat_mask.shape[0]
     n_movers = jnp.sum(flat_mask.astype(_I32))
-    (mov_idx,) = jnp.nonzero(flat_mask, size=m_cap, fill_value=size)
-    live = mov_idx < size
+
+    # Two-level mover compaction: a full-size nonzero is a cumsum over all
+    # slots (expensive at 16M); instead flag tiles containing movers (~0.1%
+    # of tiles), compact the FLAGS, and expand each flagged tile's CAP
+    # slots.  All heavy ops shrink to the tile count or the small buffer.
+    mt_cap = max(1, m_cap // cap)
+    tile_mask = jnp.any(mover, axis=0).reshape(-1)          # [ntiles]
+    (tile_idx,) = jnp.nonzero(tile_mask, size=mt_cap, fill_value=ntiles)
+    tile_live = tile_idx < ntiles
+    tile_idx = jnp.where(tile_live, tile_idx, 0)
+    # expand: slot-major flat indices of every slot in the flagged tiles
+    mov_idx = (jnp.arange(cap, dtype=_I32)[:, None] * ntiles
+               + tile_idx[None, :]).reshape(-1)             # [cap * mt_cap]
+    live = (jnp.broadcast_to(tile_live[None, :], (cap, mt_cap)).reshape(-1)
+            & flat_mask[mov_idx])
     mov_idx = jnp.where(live, mov_idx, 0)
 
     def take(a, fill):

@@ -126,3 +126,16 @@ def test_png_writer_roundtrip_header(tmp_path):
     import struct
     w, h = struct.unpack(">II", raw[16:24])
     assert (w, h) == (7, 4)
+
+
+def test_viewer_renders_tiled_engine(tmp_path):
+    from gpu_physics_engine_tpu import SimConfig, make_engine
+    cfg = SimConfig(max_particles=256, initial_particles=256,
+                    world_width=64.0, world_height=64.0,
+                    initial_radius=0.5, pipeline="tiled", tile_cap=16)
+    eng = make_engine(cfg, seed=0)
+    eng.run(3)
+    viewer = Viewer((64.0, 64.0), (320, 240))
+    frame = viewer.render_engine(eng)
+    assert frame.shape == (240, 320, 3)
+    assert frame.max() > 0.0
