@@ -76,11 +76,14 @@ def build_candidate_entries(x, y, radius, active, cell_size):
         cells.append(jnp.where(hit, morton.morton_encode(ncx, ncy),
                                _U32(UNUSED_CELL_ID)))
 
-    cells4 = jnp.stack(cells, axis=-1).reshape(-1)  # [4N], slot-major per obj
+    # slot-major [4N] = concat(slot0, slot1, slot2, slot3): contiguous
+    # copies, no strided interleave (the sort is unstable, input order is
+    # free; the aggregation reshape is [4, N] accordingly)
+    cells4 = jnp.concatenate(cells)
     idx4 = jnp.arange(4 * n, dtype=_U32)
 
     def rep(a):
-        return jnp.broadcast_to(a[:, None], (n, 4)).reshape(-1)
+        return jnp.concatenate([a, a, a, a])
 
     return cells4, idx4, rep(x), rep(y), rep(radius)
 
@@ -181,7 +184,7 @@ def solve_fast(x, y, radius, active, cell_size, config: SimConfig
     else:
         _, ax_o, ay_o = jax.lax.sort((idx_s, acc_x, acc_y), num_keys=1,
                                      is_stable=False)
-    dx_dense = ax_o.reshape(n, 4).sum(axis=1)
-    dy_dense = ay_o.reshape(n, 4).sum(axis=1)
+    dx_dense = ax_o.reshape(4, n).sum(axis=0)  # fold the 4 slot planes
+    dy_dense = ay_o.reshape(4, n).sum(axis=0)
 
     return x + dx_dense, y + dy_dense, overflow
