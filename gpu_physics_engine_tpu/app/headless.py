@@ -81,9 +81,20 @@ def main(argv=None) -> dict:
         args.spawn = [(e.step, *e.pos) for e in scene.events if e.kind == "spawn"]
         eng = Engine(scene.config, seed=args.seed)
     elif args.resume:
-        from gpu_physics_engine_tpu.utils.checkpoint import load_checkpoint
-        state, cfg = load_checkpoint(args.resume)
-        eng = Engine(cfg, seed=args.seed, initial_state=state)
+        import numpy as _np
+        with _np.load(args.resume) as _z:
+            is_tiled = "__kind__" in _z.files
+        if is_tiled:
+            from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+            from gpu_physics_engine_tpu.utils.checkpoint import (
+                load_tiled_checkpoint)
+            state, cfg = load_tiled_checkpoint(args.resume)
+            eng = TiledEngine(cfg, seed=args.seed, initial_state=state)
+            args.pipeline = "tiled"
+        else:
+            from gpu_physics_engine_tpu.utils.checkpoint import load_checkpoint
+            state, cfg = load_checkpoint(args.resume)
+            eng = Engine(cfg, seed=args.seed, initial_state=state)
     else:
         cfg = SimConfig(
             max_particles=args.particles + 100 * len(args.spawn),

@@ -64,11 +64,14 @@ def _collide_row_kernel(*refs, cap: int, stiffness: float):
                 ro = pltpu.roll(rr, shift=sh, axis=1)
                 oo = pltpu.roll(orow, shift=sh, axis=1)
             self_tile = row == 1 and dx == 0
-            for k in range(cap):
-                xk = xo[k][None, :]
-                yk = yo[k][None, :]
-                rk = ro[k][None, :]
-                ok = oo[k][None, :]
+
+            def slot_body(k, accs, xo=xo, yo=yo, ro=ro, oo=oo,
+                          self_tile=self_tile):
+                ax, ay = accs
+                xk = jax.lax.dynamic_slice_in_dim(xo, k, 1, axis=0)
+                yk = jax.lax.dynamic_slice_in_dim(yo, k, 1, axis=0)
+                rk = jax.lax.dynamic_slice_in_dim(ro, k, 1, axis=0)
+                ok = jax.lax.dynamic_slice_in_dim(oo, k, 1, axis=0)
 
                 ddx = x - xk
                 ddy = y - yk
@@ -86,8 +89,14 @@ def _collide_row_kernel(*refs, cap: int, stiffness: float):
                 safe = jnp.maximum(dist, MIN_DISTANCE)
                 pen = (rsum - dist) * jnp.float32(stiffness)
                 wi = rk / jnp.maximum(rsum, MIN_DISTANCE)
-                acc_x = acc_x + ddx / safe * pen * wi * w
-                acc_y = acc_y + ddy / safe * pen * wi * w
+                return (ax + ddx / safe * pen * wi * w,
+                        ay + ddy / safe * pen * wi * w)
+
+            # fori_loop keeps the kernel 9 blocks instead of 9*CAP unrolled
+            # (Mosaic compile-time insurance; the body is lane-wide vector
+            # work, so loop overhead is negligible)
+            acc_x, acc_y = jax.lax.fori_loop(
+                0, cap, slot_body, (acc_x, acc_y))
 
     outx_ref[:, 0, :] = x + acc_x
     outy_ref[:, 0, :] = y + acc_y
