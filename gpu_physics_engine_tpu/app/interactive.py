@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--gravity", type=float, nargs=2, default=(0.0, 0.0))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--window", type=int, nargs=2, default=(1280, 720))
+    p.add_argument("--frames", type=int, default=0,
+                   help="exit after N frames (0 = run until closed); "
+                        "useful for smoke tests on headless backends")
     args = p.parse_args(argv)
 
     try:
@@ -76,6 +79,7 @@ def main(argv=None):
 
     plt.ion()
     plt.show()
+    n_frames = 0
     with eng.timer:
         while running["on"]:
             viewer.camera.update(eng.timer.get_delta() or 1 / 60)
@@ -87,6 +91,9 @@ def main(argv=None):
                 im.set_data(frame)
             fig.canvas.draw_idle()
             fig.canvas.flush_events()
+            n_frames += 1
+            if args.frames and n_frames >= args.frames:
+                running["on"] = False
 
 
 if __name__ == "__main__":

@@ -110,6 +110,11 @@ def init_tiles(config: SimConfig, positions, radii, pids=None,
     positions = np.asarray(positions, np.float32).reshape(-1, 2)
     radii = np.asarray(radii, np.float32).reshape(-1)
     n = radii.shape[0]
+    if n and float(radii.max()) * 2.0 > t:
+        raise ValueError(
+            f"tile edge {t:.3f} < particle diameter {2 * radii.max():.3f}: "
+            "the 3x3 neighborhood would miss pairs. Raise "
+            "SimConfig.tile_max_radius (or tile_multiplier).")
     if previous_positions is None:
         previous_positions = positions
     previous_positions = np.asarray(previous_positions, np.float32).reshape(-1, 2)

@@ -147,3 +147,10 @@ def test_pallas_collide_matches_jnp():
     b = collide_pallas(st, cfg)  # interpret mode on CPU
     np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-6)
+
+
+def test_oversized_radius_rejected():
+    cfg = _cfg(initial_particles=1)
+    with pytest.raises(ValueError, match="tile edge"):
+        tiled.init_tiles(cfg, np.array([[10.0, 10.0]], np.float32),
+                         np.array([5.0], np.float32))
