@@ -224,3 +224,51 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
         return TileState(*out)
 
     return step
+
+
+def make_sharded_insert(config: SimConfig, mesh: Mesh):
+    """Spawn path for the sharded tiled engine: the burst arrays are
+    replicated to every chip; each chip inserts the particles whose target
+    tile row lies in its slab (the others see them as dead entries)."""
+    axis = config.mesh_axis
+    n = mesh.devices.size
+    t, TYp, TX, rows = sharded_tile_geometry(config, n)
+
+    def local_insert(x, y, px, py, r, pid, num_active, dropped,
+                     sx, sy, sr, sid):
+        d = jax.lax.axis_index(axis)
+        row0 = d.astype(_I32) * rows
+        local = TileState(x=x, y=y, px=px, py=py, radius=r, pid=pid,
+                          num_active=num_active, overflow_count=dropped)
+        ty_g, tx_t = _tile_of(sx, sy, jnp.float32(t))
+        ty_g = jnp.clip(ty_g, 1, TYp - 2)
+        tx_t = jnp.clip(tx_t, 1, TX - 2)
+        ty_l = ty_g - row0
+        mine = (ty_l >= 0) & (ty_l < rows)
+        fields = (sx, sy, sx, sy, sr, sid)
+        local, placed = tiled._insert_compacted(
+            local, jnp.clip(ty_l, 0, rows - 1), tx_t, fields, mine)
+        n_placed = jax.lax.psum(jnp.sum(placed.astype(_I32)), axis)
+        n_dropped = sx.shape[0] - n_placed
+        return (local.x, local.y, local.px, local.py, local.radius,
+                local.pid, num_active + n_placed, dropped + n_dropped)
+
+    sharded = P(None, axis, None)
+    rep = P()
+    mapped = jax.shard_map(
+        local_insert, mesh=mesh,
+        in_specs=(sharded,) * 6 + (rep,) * 6,
+        out_specs=(sharded,) * 6 + (rep, rep),
+    )
+
+    @jax.jit
+    def insert(state: TileState, positions, radii, pids) -> TileState:
+        out = mapped(state.x, state.y, state.px, state.py, state.radius,
+                     state.pid, state.num_active, state.overflow_count,
+                     jnp.asarray(positions[:, 0], jnp.float32),
+                     jnp.asarray(positions[:, 1], jnp.float32),
+                     jnp.asarray(radii, jnp.float32),
+                     jnp.asarray(pids, _I32))
+        return TileState(*out)
+
+    return insert

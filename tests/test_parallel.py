@@ -206,3 +206,34 @@ def test_sharded_tiled_cross_slab_migration(mesh8):
     assert int(sstate.overflow_count) == 0
     _, pos, _, _ = export_particles(sstate)
     assert pos[0, 1] > 30.0  # crossed most of the world upward
+
+
+def test_sharded_tiled_spawn(mesh8):
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+
+    cfg = _tcfg(initial_particles=16, max_particles=128)
+    rng = np.random.default_rng(4)
+    positions = np.stack([
+        rng.uniform(1.0, 63.0, 16), rng.uniform(1.0, 63.0, 16)], -1).astype(np.float32)
+    radii = np.full(16, 0.5, np.float32)
+    sstate = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+    insert = tiled_shard.make_sharded_insert(cfg, mesh8)
+    # spawn 24 particles spread over the whole world (many slabs)
+    spawn_pos = np.stack([
+        rng.uniform(1.0, 63.0, 24), rng.uniform(1.0, 63.0, 24)], -1).astype(np.float32)
+    sstate = insert(sstate, jnp.asarray(spawn_pos),
+                    jnp.full(24, 0.5, jnp.float32),
+                    jnp.arange(16, 40, dtype=jnp.int32))
+    assert int(sstate.num_active) == 40
+    pid, pos, _, _ = export_particles(sstate)
+    assert len(pid) == 40
+    np.testing.assert_array_equal(np.sort(pid), np.arange(40))
+    # spawned particles live where they were asked to
+    np.testing.assert_allclose(pos[np.argsort(pid)][16:], spawn_pos, atol=1e-6)
+    # and the sim keeps running
+    sstep = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+    params = StepParams.make(cfg.dt)
+    for _ in range(5):
+        sstate = sstep(sstate, params)
+    assert int(sstate.num_active) == 40
