@@ -100,15 +100,55 @@ def _tile_of(x, y, tile_edge):
     return ty, tx
 
 
+def _load_native_tiler():
+    """ctypes handle to the C++ binning pass (native/tiler.cpp), or None."""
+    global _TILER, _TILER_FAILED
+    if _TILER is not None or _TILER_FAILED:
+        return _TILER
+    import ctypes
+    import os
+    import subprocess
+
+    import numpy as np
+
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                              "native")
+    lib_path = os.path.join(native_dir, "libtiler.so")
+    try:
+        if not os.path.exists(lib_path):
+            subprocess.run(["make", "-s", "-C", native_dir], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(lib_path)
+        f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.bin_particles.argtypes = [
+            f32, f32, f32, i32, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            f32, f32, f32, f32, f32, i32, i32]
+        lib.bin_particles.restype = ctypes.c_int64
+        _TILER = lib
+    except Exception:
+        _TILER_FAILED = True
+    return _TILER
+
+
+_TILER = None
+_TILER_FAILED = False
+
+
 def init_tiles(config: SimConfig, positions, radii, pids=None,
                previous_positions=None) -> TileState:
-    """Host-side construction from particle arrays (init / test fixture)."""
+    """Host-side construction from particle arrays (init / test fixture).
+
+    Uses the native C++ binning pass (native/tiler.cpp) when available —
+    the framework's data-loader, memory-speed at 16M particles — with a
+    vectorized numpy fallback."""
     import numpy as np
 
     t, TY, TX = tile_geometry(config)
     cap = config.tile_cap
-    positions = np.asarray(positions, np.float32).reshape(-1, 2)
-    radii = np.asarray(radii, np.float32).reshape(-1)
+    positions = np.ascontiguousarray(positions, np.float32).reshape(-1, 2)
+    radii = np.ascontiguousarray(radii, np.float32).reshape(-1)
     n = radii.shape[0]
     if n and float(radii.max()) * 2.0 > t:
         raise ValueError(
@@ -117,16 +157,43 @@ def init_tiles(config: SimConfig, positions, radii, pids=None,
             "SimConfig.tile_max_radius (or tile_multiplier).")
     if previous_positions is None:
         previous_positions = positions
-    previous_positions = np.asarray(previous_positions, np.float32).reshape(-1, 2)
+    previous_positions = np.ascontiguousarray(
+        previous_positions, np.float32).reshape(-1, 2)
     if pids is None:
         pids = np.arange(n, dtype=np.int32)
+    pids = np.ascontiguousarray(pids, np.int32)
 
+    shape = (cap, TY, TX)
+    size = cap * TY * TX
+
+    lib = _load_native_tiler()
+    if lib is not None:
+        fx = np.zeros(size, np.float32)
+        fy = np.zeros(size, np.float32)
+        fpx = np.zeros(size, np.float32)
+        fpy = np.zeros(size, np.float32)
+        fr = np.zeros(size, np.float32)
+        fpid = np.full(size, -1, np.int32)
+        fill = np.zeros(TY * TX, np.int32)
+        dropped = int(lib.bin_particles(
+            positions, previous_positions, radii, pids, n, np.float32(t),
+            cap, TY, TX, fx, fy, fpx, fpy, fr, fpid, fill))
+        return TileState(
+            x=jnp.asarray(fx.reshape(shape)), y=jnp.asarray(fy.reshape(shape)),
+            px=jnp.asarray(fpx.reshape(shape)),
+            py=jnp.asarray(fpy.reshape(shape)),
+            radius=jnp.asarray(fr.reshape(shape)),
+            pid=jnp.asarray(fpid.reshape(shape)),
+            num_active=jnp.int32(n - dropped),
+            overflow_count=jnp.int32(dropped),
+        )
+
+    # numpy fallback: stable sort by tile, slot = rank within run
     ty = np.clip((positions[:, 1] // t).astype(np.int64) + 1, 1, TY - 2)
     tx = np.clip((positions[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
     tile = ty * TX + tx
     order = np.argsort(tile, kind="stable")
     tile_sorted = tile[order]
-    # slot within tile = index since the start of the tile's run
     first = np.concatenate([[0], np.nonzero(np.diff(tile_sorted))[0] + 1])
     run_start = np.zeros(n, np.int64)
     run_start[first] = first
@@ -137,9 +204,6 @@ def init_tiles(config: SimConfig, positions, radii, pids=None,
     dropped = int(n - keep.sum())
     flat = slot[keep] * (TY * TX) + tile_sorted[keep]
     src = order[keep]
-
-    shape = (cap, TY, TX)
-    size = cap * TY * TX
 
     def place(vals, fill=0.0, dtype=np.float32):
         a = np.full(size, fill, dtype)

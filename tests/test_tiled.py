@@ -154,3 +154,21 @@ def test_oversized_radius_rejected():
     with pytest.raises(ValueError, match="tile edge"):
         tiled.init_tiles(cfg, np.array([[10.0, 10.0]], np.float32),
                          np.array([5.0], np.float32))
+
+
+def test_native_tiler_matches_numpy_fallback():
+    rng = np.random.default_rng(5)
+    n = 400
+    cfg = _cfg(initial_particles=n, tile_cap=12)
+    positions = rng.uniform(1.0, 63.0, size=(n, 2)).astype(np.float32)
+    radii = rng.uniform(0.3, 0.5, size=n).astype(np.float32)
+    a = tiled.init_tiles(cfg, positions, radii)
+    saved = (tiled._TILER, tiled._TILER_FAILED)
+    try:
+        tiled._TILER, tiled._TILER_FAILED = None, True  # force numpy path
+        b = tiled.init_tiles(cfg, positions, radii)
+    finally:
+        tiled._TILER, tiled._TILER_FAILED = saved
+    np.testing.assert_array_equal(np.asarray(a.pid), np.asarray(b.pid))
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(a.radius), np.asarray(b.radius))
