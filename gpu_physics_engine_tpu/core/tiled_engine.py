@@ -93,9 +93,17 @@ class TiledEngine:
         sy = world_pos[1] + dist * jnp.sin(angle)
         sx = jnp.clip(sx, 0.0, self.config.world_width - 1e-3)
         sy = jnp.clip(sy, 0.0, self.config.world_height - 1e-3)
-        radii = jax.random.randint(kr, (count,), 1, 4).astype(jnp.float32)
-        # the static tiling must accommodate the spawned radius
-        radii = jnp.minimum(radii, self.config.tile_max_radius_effective)
+        # reference spawn radius is uniform {1, 2, 3} (particle_system.rs:189);
+        # the static tiling must accommodate it — fail loudly, never shrink
+        # particles silently
+        r_max = min(3.0, self.config.tile_max_radius_effective)
+        if self.config.tile_max_radius_effective < 1.0:
+            raise ValueError(
+                "spawning needs SimConfig.tile_max_radius >= spawn radius "
+                f"(max 3.0); tiling was sized for "
+                f"{self.config.tile_max_radius_effective}")
+        radii = jax.random.randint(
+            kr, (count,), 1, int(r_max) + 1).astype(jnp.float32)
         ids = jnp.arange(count, dtype=jnp.int32) + self._next_pid
         self._next_pid += count
         self.state = self._insert(

@@ -115,7 +115,8 @@ def test_dense_scene_overlap_decreases_and_everyone_survives():
 
 
 def test_spawn_and_attractor():
-    cfg = _cfg(initial_particles=64, tile_max_radius=0.5)
+    # tiling sized for the spawn radius (spawned r <= min(3, tile_max_radius))
+    cfg = _cfg(initial_particles=64, tile_max_radius=1.0)
     eng = TiledEngine(cfg, seed=2)
     eng.spawn_at((32.0, 32.0), count=20, verbose=False)
     assert eng.num_particles() == 84
