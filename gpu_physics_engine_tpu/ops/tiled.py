@@ -359,7 +359,9 @@ def _insert_compacted(state: TileState, ty_t, tx_t, fields, live):
             jnp.where(can, enc, _BIG), mode="drop")
         won = can & (claim[tile_lin] == enc)
 
-        dst = jnp.where(won, base + tile_lin, cap * ntiles)
+        # losers get DISTINCT out-of-bounds destinations: unique_indices
+        # must hold even for dropped entries
+        dst = jnp.where(won, base + tile_lin, cap * ntiles + enc)
         for i in range(5):
             flat[i] = flat[i].at[dst].set(
                 fields[i], mode="drop", unique_indices=True)
@@ -425,8 +427,9 @@ def relocate(state: TileState, config: SimConfig) -> TileState:
     deferred = n_movers - jnp.sum(live.astype(_I32))
 
     new_state, placed = _insert_compacted(state, ty_t, tx_t, fields, live)
-    # vacate PLACED movers' old slots
-    rm = jnp.where(placed, mov_idx, size)
+    # vacate PLACED movers' old slots (distinct OOB indices for the rest)
+    rm = jnp.where(placed, mov_idx,
+                   size + jnp.arange(mov_idx.shape[0], dtype=_I32))
     pid_flat = new_state.pid.reshape(-1)
     pid_flat = pid_flat.at[rm].set(_EMPTY, mode="drop", unique_indices=True)
     not_placed = jnp.sum((live & ~placed).astype(_I32))

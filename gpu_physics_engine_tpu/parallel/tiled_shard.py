@@ -178,7 +178,8 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
         total_drop += n_local - jnp.sum(live_l.astype(_I32))
         new_local, placed = tiled._insert_compacted(
             local, tyl, txl, fields_l, live_l)
-        rm = jnp.where(placed, idx_l, flat_size)
+        oob = flat_size + jnp.arange(m_cap, dtype=_I32)
+        rm = jnp.where(placed, idx_l, oob)
         pidf = new_local.pid.reshape(-1).at[rm].set(
             -1, mode="drop", unique_indices=True)
         local = dataclasses.replace(new_local, pid=pidf.reshape(local.pid.shape))
@@ -189,7 +190,7 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
             idx_c, live_c, fields_c, (txc,), n_cross = pack(mask, (tx_want,))
             total_drop += n_cross - jnp.sum(live_c.astype(_I32))
             # remove senders (receiver may drop: counted via psum below)
-            rm = jnp.where(live_c, idx_c, flat_size)
+            rm = jnp.where(live_c, idx_c, oob)
             pidf = local.pid.reshape(-1).at[rm].set(
                 -1, mode="drop", unique_indices=True)
             local = dataclasses.replace(local, pid=pidf.reshape(local.pid.shape))
