@@ -73,13 +73,15 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
 
     if args.scene:
+        from gpu_physics_engine_tpu import make_engine
         from gpu_physics_engine_tpu.scenes import get_scene
         scene = get_scene(args.scene)
         args.steps = scene.steps
+        args.pipeline = scene.config.pipeline
         args.attract = [(e.step, *e.pos) for e in scene.events if e.kind == "press"]
         args.release = [e.step for e in scene.events if e.kind == "release"]
         args.spawn = [(e.step, *e.pos) for e in scene.events if e.kind == "spawn"]
-        eng = Engine(scene.config, seed=args.seed)
+        eng = make_engine(scene.config, seed=args.seed)
     elif args.resume:
         import numpy as _np
         with _np.load(args.resume) as _z:

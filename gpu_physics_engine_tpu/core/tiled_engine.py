@@ -60,10 +60,12 @@ class TiledEngine:
         self.state = self._step(self.state, params or self.params())
         return self.state
 
-    def run(self, n_steps: int):
+    def run(self, n_steps: int, sync_every: int = 0):
         p = self.params()
-        for _ in range(n_steps):
+        for i in range(n_steps):
             self.state = self._step(self.state, p)
+            if sync_every and (i + 1) % sync_every == 0:
+                jax.block_until_ready(self.state.x)
             self.timer.get_delta()
         return self.state
 

@@ -54,20 +54,22 @@ def _scenes() -> Dict[str, Scene]:
                 [SceneEvent(100, "press", _CENTER),
                  SceneEvent(400, "release")] +
                 [SceneEvent(200 + 40 * i, "spawn", _CENTER) for i in range(10)])),
-        # config 3: the reference headline scene
+        # config 3: the reference headline scene (production fast solver;
+        # Morton resort cadence = 4 sim-seconds at 60 steps/s)
         "million": Scene(
             name="million",
             description="1M particles, Morton resort every 4 sim-seconds",
             config=SimConfig(max_particles=1 << 20, initial_particles=1 << 20,
-                             sort_interval_steps=240, **_WORLD),
+                             sort_interval_steps=240, solver="fast", **_WORLD),
             steps=600),
-        # config 4: sustained scale + substeps
+        # config 4: sustained scale + substeps, persistent tiled pipeline
         "four_million": Scene(
             name="four_million",
             description="4M sustained, multi-substep collision solve",
             config=SimConfig(max_particles=4_194_304,
                              initial_particles=4_194_304,
-                             substeps=2, **_WORLD),
+                             substeps=2, pipeline="tiled", solver="fast",
+                             tile_cap=16, **_WORLD),
             steps=200),
         # config 5: multi-chip stretch (use parallel/halo.py; this entry
         # carries the single-chip-equivalent config for scale bookkeeping)
