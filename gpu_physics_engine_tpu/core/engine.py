@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gpu_physics_engine_tpu.core import state as state_lib
@@ -124,3 +125,25 @@ class Engine:
 
     def cell_size(self) -> float:
         return float(self.config.cell_size(float(self.state.max_radius)))
+
+    # ---- debug downloads (test/inspection parity with the reference's
+    # Grid::cell_ids/object_ids accessors and
+    # CollisionSystem::download_collision_cells, collision_system.rs:44) ----
+
+    def debug_grid(self):
+        """(sorted cell_ids u32[4N], object_ids i32[4N]) of the current
+        state — the reference's post-sort grid buffers (grid.rs:310-312)."""
+        from gpu_physics_engine_tpu.ops import grid as grid_ops
+        cand = grid_ops.build_candidates(
+            self.state.x, self.state.y, self.state.radius,
+            self.state.active_mask(), self.cell_size())
+        sc, so = grid_ops.sort_map(*grid_ops.build_cell_ids(cand))
+        return np.asarray(sc), np.asarray(so)
+
+    def debug_collision_cells(self):
+        """(start indices u32[4N] UNUSED-padded, total) — the reference's
+        collision_cells buffer + count."""
+        from gpu_physics_engine_tpu.ops import collision as coll_ops
+        sc, _ = self.debug_grid()
+        cells, total = coll_ops.build_collision_cells(jnp.asarray(sc))
+        return np.asarray(cells), int(total)

@@ -153,3 +153,18 @@ def test_jacobi_reduces_overlap():
     nx_, ny_ = collision.solve_jacobi(x, y, r, hb, cand, cfg, active)
     after = total_overlap(np.asarray(nx_), np.asarray(ny_))
     assert after < before
+
+
+def test_engine_debug_downloads():
+    """Engine debug accessors mirror the reference's test downloads
+    (Grid::cell_ids/object_ids, CollisionSystem::download_collision_cells)."""
+    from gpu_physics_engine_tpu import Engine, SimConfig
+    cfg = SimConfig(max_particles=546, initial_particles=546,
+                    world_width=32.0, world_height=32.0, initial_radius=1.0)
+    pos = np.tile(np.array([[CELL + 0.05, CELL + 0.05]], np.float32), (546, 1))
+    eng = Engine.from_arrays(cfg, pos, np.ones(546, np.float32))
+    sc, so = eng.debug_grid()
+    assert sc.shape[0] == 4 * cfg.capacity
+    cells, total = eng.debug_collision_cells()
+    assert total == 4
+    assert cells[:4].tolist() == [0, 546, 1092, 1638]
