@@ -97,7 +97,9 @@ class SimConfig:
     # tile edge = tile_multiplier * tile_max_radius; must stay >= 2*max
     # live radius for 3x3 pair coverage (4.4 = two reference cells of slack)
     tile_multiplier: float = 4.4
-    tile_cap: int = 24            # particle slots per tile
+    # particle slots per tile; 0 = auto-size from the initial scene's max
+    # tile occupancy (resolved at TiledEngine construction)
+    tile_cap: int = 24
     mover_capacity: int = 1 << 15  # per-step tile-crossing buffer
     # collide backend: "pallas" (ops/tiled_pallas.py row kernel), "jnp",
     # or "auto" (pallas on TPU, jnp elsewhere — interpret mode is test-only)

@@ -21,6 +21,16 @@ from gpu_physics_engine_tpu.ops import tiled
 from gpu_physics_engine_tpu.utils.timer import FrameTimer
 
 
+def _auto_cap(config: SimConfig, positions) -> int:
+    """Pick tile_cap from the initial scene: 1.5x the densest tile,
+    rounded up to a multiple of 4 (min 8)."""
+    t, TY, TX = tiled.tile_geometry(config)
+    ty = np.clip((positions[:, 1] // t).astype(np.int64) + 1, 1, TY - 2)
+    tx = np.clip((positions[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
+    occ = np.bincount(ty * TX + tx, minlength=TY * TX).max() if len(ty) else 0
+    return max(8, int(-(-1.5 * occ // 4)) * 4)
+
+
 class TiledEngine:
     def __init__(self, config: SimConfig, seed: int = 0,
                  initial_state: Optional[tiled.TileState] = None):
@@ -35,7 +45,13 @@ class TiledEngine:
                 np.asarray(jax.random.uniform(
                     k2, (n,), jnp.float32, 0.0, config.world_height))], -1)
             radii = np.full(n, config.initial_radius, np.float32)
+            if config.tile_cap == 0:
+                self.config = config = config.replace(
+                    tile_cap=_auto_cap(config, positions))
             initial_state = tiled.init_tiles(config, positions, radii)
+        elif config.tile_cap == 0:
+            self.config = config = config.replace(
+                tile_cap=int(initial_state.dims[0]))
         self.state = initial_state
         self._next_pid = int(self.state.num_active)
         self._step = tiled.make_tiled_step(config)
@@ -48,6 +64,9 @@ class TiledEngine:
 
     @classmethod
     def from_arrays(cls, config: SimConfig, positions, radii, **kw):
+        if config.tile_cap == 0:
+            config = config.replace(tile_cap=_auto_cap(
+                config, np.asarray(positions, np.float32).reshape(-1, 2)))
         st = tiled.init_tiles(config, positions, radii, **kw)
         return cls(config, initial_state=st)
 

@@ -173,3 +173,13 @@ def test_native_tiler_matches_numpy_fallback():
     np.testing.assert_array_equal(np.asarray(a.pid), np.asarray(b.pid))
     np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
     np.testing.assert_array_equal(np.asarray(a.radius), np.asarray(b.radius))
+
+
+def test_auto_tile_cap():
+    cfg = _cfg(initial_particles=200, tile_cap=0)
+    eng = TiledEngine(cfg, seed=0)
+    assert eng.config.tile_cap >= 8
+    assert eng.config.tile_cap % 4 == 0
+    assert int(eng.state.overflow_count) == 0
+    eng.run(5)
+    assert eng.num_particles() == 200
