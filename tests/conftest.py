@@ -16,3 +16,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by jit compiles of
+# small fixed configs; caching them makes repeat runs several times faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpe_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
