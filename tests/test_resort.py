@@ -72,3 +72,34 @@ def test_resort_preserves_simulation_state():
         new_st.x, new_st.y, new_st.active_mask(), jnp.float32(1.1))
     c = np.asarray(codes)[:128]
     assert (np.diff(c.astype(np.int64)) >= 0).all()
+
+
+def test_resort_permutes_colors_when_tracked():
+    """The reference's rearrange skips colors (rearrange.wgsl:26-34) —
+    consciously fixed here: all fields ride the permutation."""
+    cfg = SimConfig(max_particles=3, initial_particles=3,
+                    world_width=32.0, world_height=32.0,
+                    initial_radius=1.0, track_colors=True)
+    cs = 2.2
+    positions = np.array([[3.5 * cs, 1.5 * cs],
+                          [0.5 * cs, 0.5 * cs],
+                          [1.5 * cs, 1.5 * cs]], np.float32)
+    colors = np.eye(3, 4, dtype=np.float32)
+    st = sl.from_arrays(cfg, positions, np.ones(3, np.float32), colors=colors)
+    new_st, perm = resort.morton_resort(st, jnp.float32(cs))
+    np.testing.assert_array_equal(np.asarray(perm)[:3], [1, 2, 0])
+    np.testing.assert_allclose(np.asarray(new_st.color)[:3], colors[[1, 2, 0]])
+
+
+def test_spawn_colors_when_tracked():
+    from gpu_physics_engine_tpu import Engine
+    cfg = SimConfig(max_particles=256, initial_particles=16,
+                    world_width=256.0, world_height=256.0,
+                    initial_radius=0.5, track_colors=True,
+                    sort_interval_steps=0)
+    eng = Engine(cfg, seed=0)
+    eng.spawn_at((128.0, 128.0), verbose=False)
+    c = np.asarray(eng.state.color)[16:116]
+    # reference spawn colors: channels U[0.3, 1.0), alpha 1 (particle_system.rs:201)
+    assert (c[:, :3] >= 0.3).all() and (c[:, :3] <= 1.0).all()
+    np.testing.assert_array_equal(c[:, 3], 1.0)
