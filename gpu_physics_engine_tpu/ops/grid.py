@@ -38,7 +38,9 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 # Encoded bucket entries are obj_id * 4 + candidate_slot; EMPTY sorts last.
-BUCKET_EMPTY = jnp.int32(0x7FFFFFFF)
+# (plain int: module-level jnp constants would initialize the backend at
+# import time, which blocks when the TPU tunnel is down)
+BUCKET_EMPTY = 0x7FFFFFFF
 
 # Candidate-neighbor scan order matches the reference loop
 # (grid.wgsl:68-88: y from -1 to 1, x from -1 to 1, skipping (0,0)).

@@ -51,8 +51,9 @@ from gpu_physics_engine_tpu.core.state import StepParams
 
 _I32 = jnp.int32
 MIN_DISTANCE = 1e-4  # collision_solver.wgsl:95
-_EMPTY = jnp.int32(-1)
-_BIG = jnp.int32(0x7FFFFFFF)
+# plain ints: module-level jnp constants would initialize the backend at import
+_EMPTY = -1
+_BIG = 0x7FFFFFFF
 
 
 # ---------------------------------------------------------------------------
