@@ -273,3 +273,107 @@ def make_sharded_insert(config: SimConfig, mesh: Mesh):
         return TileState(*out)
 
     return insert
+
+
+class ShardedTiledEngine:
+    """Engine facade over the sharded tiled pipeline — the TiledEngine API
+    on a device mesh (run/step/spawn/mouse/downloads).  Downloads assume
+    all shards are addressable from this host (single-host meshes)."""
+
+    def __init__(self, config: SimConfig, mesh: Mesh = None, seed: int = 0):
+        from gpu_physics_engine_tpu.core.tiled_engine import _auto_cap
+        from gpu_physics_engine_tpu.parallel.mesh import make_mesh
+        from gpu_physics_engine_tpu.utils.timer import FrameTimer
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._key = jax.random.key(seed)
+        k1, k2, self._key = jax.random.split(self._key, 3)
+        n = config.initial_particles
+        positions = np.stack([
+            np.asarray(jax.random.uniform(
+                k1, (n,), jnp.float32, 0.0, config.world_width)),
+            np.asarray(jax.random.uniform(
+                k2, (n,), jnp.float32, 0.0, config.world_height))], -1)
+        radii = np.full(n, config.initial_radius, np.float32)
+        if config.tile_cap == 0:
+            config = config.replace(tile_cap=_auto_cap(config, positions))
+        self.config = config
+        self.state = init_sharded_tiles(config, self.mesh, positions, radii)
+        self._step = make_sharded_tiled_step(config, self.mesh)
+        self._insert = make_sharded_insert(config, self.mesh)
+        self._next_pid = n
+        self.timer = FrameTimer().start()
+        self.mouse_pos = (0.0, 0.0)
+        self.mouse_pressed = False
+
+    def params(self, dt=None):
+        return StepParams.make(
+            self.config.dt if dt is None else dt,
+            mouse=self.mouse_pos, pressed=self.mouse_pressed)
+
+    def step(self, params=None):
+        self.state = self._step(self.state, params or self.params())
+        return self.state
+
+    def run(self, n_steps: int):
+        p = self.params()
+        for _ in range(n_steps):
+            self.state = self._step(self.state, p)
+            self.timer.get_delta()
+        return self.state
+
+    def press_mouse(self, world_pos):
+        self.mouse_pos = tuple(map(float, world_pos))
+        self.mouse_pressed = True
+
+    def release_mouse(self):
+        self.mouse_pressed = False
+
+    def move_mouse(self, world_pos):
+        self.mouse_pos = tuple(map(float, world_pos))
+
+    def spawn_at(self, world_pos, count=None, verbose: bool = True):
+        count = count or self.config.spawn_burst
+        ka, kd, kr, self._key = jax.random.split(self._key, 4)
+        i = jnp.arange(count, dtype=jnp.float32)
+        angle = jax.random.uniform(ka, (count,), jnp.float32, 0.0, 2 * jnp.pi)
+        dist = 10.0 + jax.random.uniform(kd, (count,), jnp.float32) * (
+            40.0 + i * 1.5)
+        sx = jnp.clip(world_pos[0] + dist * jnp.cos(angle),
+                      0.0, self.config.world_width - 1e-3)
+        sy = jnp.clip(world_pos[1] + dist * jnp.sin(angle),
+                      0.0, self.config.world_height - 1e-3)
+        r_hi = int(min(3.0, self.config.tile_max_radius_effective))
+        if r_hi < 1:
+            raise ValueError("spawning needs tile_max_radius >= 1")
+        radii = jax.random.randint(kr, (count,), 1, r_hi + 1).astype(jnp.float32)
+        ids = jnp.arange(count, dtype=jnp.int32) + self._next_pid
+        self._next_pid += count
+        self.state = self._insert(
+            self.state, jnp.stack([sx, sy], -1), radii, ids)
+        if verbose:
+            print(f"Total particles: {self.num_particles()}")
+        return self.state
+
+    def num_particles(self) -> int:
+        return int(self.state.num_active)
+
+    def _export(self):
+        from gpu_physics_engine_tpu.ops.tiled import export_particles
+        return export_particles(self.state)
+
+    def positions(self):
+        return self._export()[1]
+
+    def previous_positions(self):
+        return self._export()[2]
+
+    def radii(self):
+        return self._export()[3]
+
+    def velocities(self):
+        _, pos, prev, _ = self._export()
+        return pos - prev
+
+    def cell_size(self) -> float:
+        return tiled.tile_geometry(self.config)[0]

@@ -237,3 +237,21 @@ def test_sharded_tiled_spawn(mesh8):
     for _ in range(5):
         sstate = sstep(sstate, params)
     assert int(sstate.num_active) == 40
+
+
+def test_sharded_tiled_engine_facade(mesh8):
+    from gpu_physics_engine_tpu.parallel.tiled_shard import ShardedTiledEngine
+
+    cfg = _tcfg(initial_particles=100, max_particles=512,
+                tile_max_radius=1.0, tile_cap=0)
+    eng = ShardedTiledEngine(cfg, mesh=mesh8, seed=0)
+    assert eng.config.tile_cap >= 8
+    eng.run(5)
+    eng.press_mouse((32.0, 32.0))
+    eng.run(5)
+    eng.spawn_at((32.0, 32.0), count=16, verbose=False)
+    assert eng.num_particles() == 116 - int(np.asarray(eng.state.overflow_count))
+    eng.run(5)
+    p = eng.positions()
+    assert np.isfinite(p).all()
+    assert eng.velocities().shape == p.shape
