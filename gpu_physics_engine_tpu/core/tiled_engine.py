@@ -103,28 +103,23 @@ class TiledEngine:
     def spawn_at(self, world_pos, count: Optional[int] = None,
                  verbose: bool = True):
         """Ring burst around a point (particle_system.rs:163-220 geometry)."""
+        from gpu_physics_engine_tpu.ops.spawn import ring_burst
+
         count = count or self.config.spawn_burst
-        ka, kd, kr, self._key = jax.random.split(self._key, 4)
-        i = jnp.arange(count, dtype=jnp.float32)
-        angle = jax.random.uniform(ka, (count,), jnp.float32, 0.0, 2 * jnp.pi)
-        max_dist = 50.0 + i * 1.5
-        dist = 10.0 + jax.random.uniform(kd, (count,), jnp.float32) * (
-            max_dist - 10.0)
-        sx = world_pos[0] + dist * jnp.cos(angle)
-        sy = world_pos[1] + dist * jnp.sin(angle)
-        sx = jnp.clip(sx, 0.0, self.config.world_width - 1e-3)
-        sy = jnp.clip(sy, 0.0, self.config.world_height - 1e-3)
         # reference spawn radius is uniform {1, 2, 3} (particle_system.rs:189);
         # the static tiling must accommodate it — fail loudly, never shrink
         # particles silently
-        r_max = min(3.0, self.config.tile_max_radius_effective)
         if self.config.tile_max_radius_effective < 1.0:
             raise ValueError(
                 "spawning needs SimConfig.tile_max_radius >= spawn radius "
                 f"(max 3.0); tiling was sized for "
                 f"{self.config.tile_max_radius_effective}")
-        radii = jax.random.randint(
-            kr, (count,), 1, int(r_max) + 1).astype(jnp.float32)
+        r_max = int(min(3.0, self.config.tile_max_radius_effective))
+        kring, self._key = jax.random.split(self._key)
+        sx, sy, radii = ring_burst(kring, world_pos[0], world_pos[1],
+                                   count, max_spawn_radius=r_max)
+        sx = jnp.clip(sx, 0.0, self.config.world_width - 1e-3)
+        sy = jnp.clip(sy, 0.0, self.config.world_height - 1e-3)
         ids = jnp.arange(count, dtype=jnp.int32) + self._next_pid
         self._next_pid += count
         self.state = self._insert(

@@ -27,6 +27,27 @@ _RING_MAX_DIST_BASE = 50.0
 _RING_MAX_DIST_STEP = 1.5
 
 
+def ring_burst(key: jax.Array, mouse_x, mouse_y, count: int,
+               max_spawn_radius: int = 3):
+    """Spawn geometry shared by every engine family.
+
+    Returns (x[count], y[count], radii[count]): positions on a widening
+    ring around the cursor (particle i at distance U[10, 50 + 1.5*i]),
+    radii uniform integers in {1..max_spawn_radius}
+    (particle_system.rs:163-196)."""
+    ka, kd, kr = jax.random.split(key, 3)
+    i = jnp.arange(count, dtype=jnp.float32)
+    angle = jax.random.uniform(ka, (count,), jnp.float32, 0.0, 2.0 * jnp.pi)
+    max_dist = _RING_MAX_DIST_BASE + i * _RING_MAX_DIST_STEP
+    dist = _RING_MIN_DIST + jax.random.uniform(kd, (count,), jnp.float32) * (
+        max_dist - _RING_MIN_DIST)
+    sx = mouse_x + dist * jnp.cos(angle)
+    sy = mouse_y + dist * jnp.sin(angle)
+    radii = jax.random.randint(
+        kr, (count,), 1, max_spawn_radius + 1).astype(jnp.float32)
+    return sx, sy, radii
+
+
 @partial(jax.jit, static_argnames=("config", "count"), donate_argnums=1)
 def add_particles(config: SimConfig, state: ParticleState, key: jax.Array,
                   mouse_x, mouse_y, count: int | None = None) -> ParticleState:
@@ -37,17 +58,8 @@ def add_particles(config: SimConfig, state: ParticleState, key: jax.Array,
     honest behavior — callers can size max_particles for their scene).
     """
     count = count if count is not None else config.spawn_burst
-    ka, kd, kr, kc = jax.random.split(key, 4)
-    i = jnp.arange(count, dtype=jnp.float32)
-
-    angle = jax.random.uniform(ka, (count,), jnp.float32, 0.0, 2.0 * jnp.pi)
-    max_dist = _RING_MAX_DIST_BASE + i * _RING_MAX_DIST_STEP
-    dist = _RING_MIN_DIST + jax.random.uniform(kd, (count,), jnp.float32) * (
-        max_dist - _RING_MIN_DIST)
-    sx = mouse_x + dist * jnp.cos(angle)
-    sy = mouse_y + dist * jnp.sin(angle)
-    # random_range(1..=3) as f32 (particle_system.rs:189)
-    radii = jax.random.randint(kr, (count,), 1, 4).astype(jnp.float32)
+    kring, kc = jax.random.split(key)
+    sx, sy, radii = ring_burst(kring, mouse_x, mouse_y, count)
 
     fits = state.num_active + count <= config.max_particles
     start = state.num_active

@@ -333,20 +333,17 @@ class ShardedTiledEngine:
         self.mouse_pos = tuple(map(float, world_pos))
 
     def spawn_at(self, world_pos, count=None, verbose: bool = True):
+        from gpu_physics_engine_tpu.ops.spawn import ring_burst
+
         count = count or self.config.spawn_burst
-        ka, kd, kr, self._key = jax.random.split(self._key, 4)
-        i = jnp.arange(count, dtype=jnp.float32)
-        angle = jax.random.uniform(ka, (count,), jnp.float32, 0.0, 2 * jnp.pi)
-        dist = 10.0 + jax.random.uniform(kd, (count,), jnp.float32) * (
-            40.0 + i * 1.5)
-        sx = jnp.clip(world_pos[0] + dist * jnp.cos(angle),
-                      0.0, self.config.world_width - 1e-3)
-        sy = jnp.clip(world_pos[1] + dist * jnp.sin(angle),
-                      0.0, self.config.world_height - 1e-3)
         r_hi = int(min(3.0, self.config.tile_max_radius_effective))
         if r_hi < 1:
             raise ValueError("spawning needs tile_max_radius >= 1")
-        radii = jax.random.randint(kr, (count,), 1, r_hi + 1).astype(jnp.float32)
+        kring, self._key = jax.random.split(self._key)
+        sx, sy, radii = ring_burst(kring, world_pos[0], world_pos[1],
+                                   count, max_spawn_radius=r_hi)
+        sx = jnp.clip(sx, 0.0, self.config.world_width - 1e-3)
+        sy = jnp.clip(sy, 0.0, self.config.world_height - 1e-3)
         ids = jnp.arange(count, dtype=jnp.int32) + self._next_pid
         self._next_pid += count
         self.state = self._insert(
