@@ -36,6 +36,10 @@ class SimConfig:
     # --- world (reference src/state.rs:35: Vec2(3048, 1048), 2D only) ---
     world_width: float = 3048.0
     world_height: float = 1048.0
+    # "box": clamp to [r, world - r] (particle_integration.wgsl:68-71).
+    # "circle": project onto the inscribed circle — the reference carries
+    # this constraint commented out (particle_integration.wgsl:79-92).
+    world_shape: str = "box"
 
     # --- capacity (XLA needs static shapes; reference grows GpuBuffers
     #     dynamically, gpu_buffer.rs:49-87 — here: capacity + num_active) ---
@@ -118,6 +122,7 @@ class SimConfig:
         assert self.solver in ("colored", "fast", "jacobi")
         assert self.pipeline in ("sorted", "bucket", "tiled")
         assert self.sort_impl in ("lax", "radix")
+        assert self.world_shape in ("box", "circle")
         assert self.max_cells_per_object == 4, "2D: home + 3 phantom cells"
 
     # ---- derived (static) quantities ----

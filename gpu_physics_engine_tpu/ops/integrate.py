@@ -27,6 +27,29 @@ from gpu_physics_engine_tpu.core.config import SimConfig
 from gpu_physics_engine_tpu.core.state import StepParams
 
 
+def apply_world_constraint(nx, ny, radius, config: SimConfig):
+    """Boundary constraint: box clamp (particle_integration.wgsl:68-71) or
+    the circular world the reference carries commented out
+    (particle_integration.wgsl:79-92): project escapees onto the largest
+    inscribed circle."""
+    if config.world_shape == "circle":
+        cx = jnp.float32(config.world_width / 2.0)
+        cy = jnp.float32(config.world_height / 2.0)
+        world_r = jnp.float32(min(config.world_width, config.world_height) / 2.0)
+        dx = nx - cx
+        dy = ny - cy
+        d2 = dx * dx + dy * dy
+        max_r = world_r - radius
+        outside = d2 > max_r * max_r
+        inv = 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-12))
+        nx = jnp.where(outside, cx + max_r * dx * inv, nx)
+        ny = jnp.where(outside, cy + max_r * dy * inv, ny)
+        return nx, ny
+    nx = jnp.clip(nx, radius, jnp.float32(config.world_width) - radius)
+    ny = jnp.clip(ny, radius, jnp.float32(config.world_height) - radius)
+    return nx, ny
+
+
 def verlet_integrate(
     x, y, px, py, radius, active, params: StepParams, config: SimConfig
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -52,8 +75,7 @@ def verlet_integrate(
     nx = x + vel_x + ax * dt2
     ny = y + vel_y + ay * dt2
 
-    nx = jnp.clip(nx, radius, jnp.float32(config.world_width) - radius)
-    ny = jnp.clip(ny, radius, jnp.float32(config.world_height) - radius)
+    nx, ny = apply_world_constraint(nx, ny, radius, config)
 
     nx = jnp.where(active, nx, x)
     ny = jnp.where(active, ny, y)

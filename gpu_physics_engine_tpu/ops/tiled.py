@@ -315,10 +315,8 @@ def integrate(state: TileState, params: StepParams, config: SimConfig,
     dt2 = dt * dt
     nx = state.x + vel_x + ax * dt2
     ny = state.y + vel_y + ay * dt2
-    nx = jnp.clip(nx, state.radius,
-                  jnp.float32(config.world_width) - state.radius)
-    ny = jnp.clip(ny, state.radius,
-                  jnp.float32(config.world_height) - state.radius)
+    from gpu_physics_engine_tpu.ops.integrate import apply_world_constraint
+    nx, ny = apply_world_constraint(nx, ny, state.radius, config)
 
     return dataclasses.replace(
         state,

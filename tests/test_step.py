@@ -138,3 +138,19 @@ def test_dt_is_dynamic_no_recompile():
     eng.step(StepParams.make(1 / 120))
     if lowered is not None:
         assert eng._step._cache_size() == lowered
+
+
+def test_circular_world_constraint():
+    """world_shape="circle": the reference's commented-out circular world
+    (particle_integration.wgsl:79-92) — everyone stays inside the
+    inscribed circle."""
+    cfg = _small_cfg(initial_particles=64, max_particles=64,
+                     world_width=32.0, world_height=32.0,
+                     gravity=(40.0, -40.0), world_shape="circle")
+    eng = Engine(cfg, seed=0)
+    eng.run(60)
+    p = eng.positions()
+    r = eng.radii()
+    d = np.linalg.norm(p - np.array([16.0, 16.0]), axis=-1)
+    assert (d <= 16.0 - r + 1e-4).all()
+    assert np.isfinite(p).all()
