@@ -38,12 +38,14 @@ void splat_particles(float* __restrict fb, int width, int height,
         const float cy = sy[i];
         const float r = sr[i];
         if (r <= 0.0f) continue;
-        // the quad spans radius*2 in world units; local coords in [-0.5, 0.5]
+        // the quad spans radius*2 in world units; local coords in [-0.5, 0.5];
+        // alpha is zero at local dist^2 >= 0.25, i.e. beyond 0.5*quad px from
+        // the center — pad by half a pixel for pixel-center sampling
         const float quad = 2.0f * r;           // quad edge in pixels
         const float inv_quad = 1.0f / quad;
-        const float half = 0.5f * quad + 1.0f;  // bounding half-extent + AA pad
-        int x0 = (int)std::floor(cx - half), x1 = (int)std::ceil(cx + half);
-        int y0 = (int)std::floor(cy - half), y1 = (int)std::ceil(cy + half);
+        const float half = 0.5f * quad + 0.5f;
+        int x0 = (int)std::floor(cx - half), x1 = (int)std::ceil(cx + half - 1.0f);
+        int y0 = (int)std::floor(cy - half), y1 = (int)std::ceil(cy + half - 1.0f);
         x0 = std::max(x0, 0); y0 = std::max(y0, 0);
         x1 = std::min(x1, width - 1); y1 = std::min(y1, height - 1);
         if (x0 > x1 || y0 > y1) continue;
