@@ -15,6 +15,10 @@
 #include <cmath>
 #include <algorithm>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 inline float smoothstep(float e0, float e1, float x) {
@@ -22,17 +26,16 @@ inline float smoothstep(float e0, float e1, float x) {
     return t * t * (3.0f - 2.0f * t);
 }
 
-}  // namespace
-
-extern "C" {
-
-// framebuffer: H*W*3 float32 RGB in [0,1], row-major, y-down.
-// sx, sy: screen-space particle centers (pixels); sr: screen-space radius.
-// rgb: N*3 per-particle color.  Particles are blended in index order.
-void splat_particles(float* __restrict fb, int width, int height,
-                     const float* __restrict sx, const float* __restrict sy,
-                     const float* __restrict sr, const float* __restrict rgb,
-                     int64_t n) {
+// Blend every particle into screen rows [band_y0, band_y1]. Particle order
+// is preserved within each pixel, so banding keeps the output identical to
+// the serial pass — each thread owns a disjoint band (no races) and skips
+// quads that don't touch it (per-particle setup is duplicated, pixel work
+// is split).
+void splat_band(float* __restrict fb, int width, int height,
+                int band_y0, int band_y1,
+                const float* __restrict sx, const float* __restrict sy,
+                const float* __restrict sr, const float* __restrict rgb,
+                int64_t n) {
     for (int64_t i = 0; i < n; ++i) {
         const float cx = sx[i];
         const float cy = sy[i];
@@ -46,8 +49,8 @@ void splat_particles(float* __restrict fb, int width, int height,
         const float half = 0.5f * quad + 0.5f;
         int x0 = (int)std::floor(cx - half), x1 = (int)std::ceil(cx + half - 1.0f);
         int y0 = (int)std::floor(cy - half), y1 = (int)std::ceil(cy + half - 1.0f);
-        x0 = std::max(x0, 0); y0 = std::max(y0, 0);
-        x1 = std::min(x1, width - 1); y1 = std::min(y1, height - 1);
+        x0 = std::max(x0, 0); y0 = std::max(y0, band_y0);
+        x1 = std::min(x1, width - 1); y1 = std::min(y1, band_y1);
         if (x0 > x1 || y0 > y1) continue;
         const float cr = rgb[3 * i], cg = rgb[3 * i + 1], cb = rgb[3 * i + 2];
         for (int y = y0; y <= y1; ++y) {
@@ -67,6 +70,33 @@ void splat_particles(float* __restrict fb, int width, int height,
             }
         }
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// framebuffer: H*W*3 float32 RGB in [0,1], row-major, y-down.
+// sx, sy: screen-space particle centers (pixels); sr: screen-space radius.
+// rgb: N*3 per-particle color.  Particles are blended in index order.
+void splat_particles(float* __restrict fb, int width, int height,
+                     const float* __restrict sx, const float* __restrict sy,
+                     const float* __restrict sr, const float* __restrict rgb,
+                     int64_t n) {
+#ifdef _OPENMP
+    #pragma omp parallel
+    {
+        const int nt = omp_get_num_threads();
+        const int t = omp_get_thread_num();
+        const int rows = (height + nt - 1) / nt;
+        const int y0 = t * rows;
+        const int y1 = std::min(y0 + rows - 1, height - 1);
+        if (y0 <= y1)
+            splat_band(fb, width, height, y0, y1, sx, sy, sr, rgb, n);
+    }
+#else
+    splat_band(fb, width, height, 0, height - 1, sx, sy, sr, rgb, n);
+#endif
 }
 
 // Axis-aligned line list: each line k covers pixels along x (horizontal=1)
