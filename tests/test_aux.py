@@ -132,3 +132,16 @@ def test_tiled_checkpoint_roundtrip(tmp_path):
     a = eng.run(5)
     eng2.run(5)
     np.testing.assert_allclose(eng.positions(), eng2.positions(), atol=1e-6)
+
+
+def test_scene_presets_constructible():
+    from gpu_physics_engine_tpu.scenes import SCENES, get_scene
+    assert set(SCENES) == {"tiny", "interactive", "million",
+                           "four_million", "sixteen_million"}
+    for name, scene in SCENES.items():
+        assert scene.config.capacity >= scene.config.initial_particles
+        assert scene.steps > 0
+    assert get_scene("tiny").config.initial_particles == 10_000
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        get_scene("nope")
