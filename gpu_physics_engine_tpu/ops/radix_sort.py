@@ -60,6 +60,8 @@ def _rank_hist_kernel(keys_ref, rank_ref, hist_ref, *, shift: int):
     # one-hot row (single masked row-sum, no lane gather needed)
     rank = jnp.sum(pre * onehot, axis=1) - 1
     rank_ref[...] = rank.reshape(rank_ref.shape)
+    # hist is a 1D (BINS,) block into a flat [nblocks * BINS] array: Mosaic
+    # rejects (1, BINS) blocks (sublane dim must be divisible by 8 or full)
     hist_ref[...] = pre[BLOCK - 1, :].reshape(hist_ref.shape)
 
 
@@ -75,16 +77,15 @@ def _rank_hist(keys_padded: jax.Array, shift: int):
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((BLOCK,), lambda b: (b,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BINS), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BINS,), lambda b: (b,), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, BINS), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks * BINS,), jnp.int32),
         ),
         interpret=_interpret(),
     )(keys_padded)
-    return rank, hist
+    return rank, hist.reshape(nblocks, BINS)
 
 
 def _one_pass(keys, payload, shift: int):

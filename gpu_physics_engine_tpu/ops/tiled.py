@@ -61,11 +61,16 @@ _BIG = 0x7FFFFFFF
 # ---------------------------------------------------------------------------
 
 def tile_geometry(config: SimConfig) -> Tuple[float, int, int]:
-    """(tile_edge, TY, TX) including the 1-tile empty border ring."""
+    """(tile_edge, TY, TX) including the 1-tile empty border ring.
+
+    TY is rounded up to a multiple of 8 (the f32 sublane tile) so the
+    Pallas band collide kernel's row bands divide the grid evenly; the
+    extra rows sit above the world and stay empty like the border ring.
+    """
     t = config.tile_multiplier * config.tile_max_radius_effective
     tx = int(math.ceil(config.world_width / t)) + 2
     ty = int(math.ceil(config.world_height / t)) + 2
-    return t, ty, tx
+    return t, -(-ty // 8) * 8, tx
 
 
 @partial(
