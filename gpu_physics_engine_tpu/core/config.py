@@ -105,9 +105,14 @@ class SimConfig:
     # tile occupancy (resolved at TiledEngine construction)
     tile_cap: int = 24
     mover_capacity: int = 1 << 15  # per-step tile-crossing buffer
-    # collide backend: "pallas" (ops/tiled_pallas.py row kernel), "jnp",
+    # collide backend: "pallas" (ops/tiled_pallas.py band kernel), "jnp",
     # or "auto" (pallas on TPU, jnp elsewhere — interpret mode is test-only)
     tiled_collide: str = "auto"
+    # relocate backend: "pallas" = bufferless pull kernels (handles any
+    # mover rate, one hop/step), "jnp" = claim rounds over a mover_capacity
+    # buffer (exact multi-tile jumps, defers on overflow), "auto" = pallas
+    # on TPU
+    tiled_relocate: str = "auto"
     # largest radius the tiling must accommodate; None -> initial_radius
     # (set to spawn_radius_max when interactive spawning is used)
     tile_max_radius: float | None = None

@@ -58,6 +58,13 @@ class TiledEngine:
         self._insert = jax.jit(
             lambda s, p, r, ids: tiled.insert_particles(s, config, p, r, ids),
             donate_argnums=0)
+        # straggler sweep: the pull relocate moves one hop per step and can
+        # transiently defer contended movers; the claim relocate handles
+        # arbitrary jumps exactly, so run it at the Morton-resort cadence
+        # (the reference's 4s grid-maintenance analog) as a safety net
+        self._sweep = jax.jit(
+            lambda s: tiled.relocate(s, config), donate_argnums=0)
+        self._steps_done = 0
         self.timer = FrameTimer().start()
         self.mouse_pos: Tuple[float, float] = (0.0, 0.0)
         self.mouse_pressed: bool = False
@@ -76,13 +83,22 @@ class TiledEngine:
             mouse=self.mouse_pos, pressed=self.mouse_pressed)
 
     def step(self, params: Optional[StepParams] = None):
+        interval = self.config.sort_interval_steps
+        if interval and self._steps_done and self._steps_done % interval == 0:
+            self.state = self._sweep(self.state)
         self.state = self._step(self.state, params or self.params())
+        self._steps_done += 1
         return self.state
 
     def run(self, n_steps: int, sync_every: int = 0):
         p = self.params()
+        interval = self.config.sort_interval_steps
         for i in range(n_steps):
+            if (interval and self._steps_done
+                    and self._steps_done % interval == 0):
+                self.state = self._sweep(self.state)
             self.state = self._step(self.state, p)
+            self._steps_done += 1
             if sync_every and (i + 1) % sync_every == 0:
                 jax.block_until_ready(self.state.x)
             self.timer.get_delta()

@@ -471,16 +471,24 @@ def tiled_step_fn(state: TileState, params: StepParams,
                   config: SimConfig) -> TileState:
     """Frame order mirrors State::update (state.rs:115-134): relocate
     (the grid-maintenance analog) -> solve -> integrate."""
+    on_tpu = jax.default_backend() == "tpu"
     use_pallas = config.tiled_collide == "pallas" or (
-        config.tiled_collide == "auto" and jax.default_backend() == "tpu")
+        config.tiled_collide == "auto" and on_tpu)
     if use_pallas:
         from gpu_physics_engine_tpu.ops.tiled_pallas import collide_pallas
         collide_fn = collide_pallas
     else:
         collide_fn = collide
+    pallas_reloc = config.tiled_relocate == "pallas" or (
+        config.tiled_relocate == "auto" and on_tpu)
+    if pallas_reloc:
+        from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+        relocate_fn = relocate_pallas
+    else:
+        relocate_fn = relocate
 
     with jax.named_scope("relocate"):
-        state = relocate(state, config)
+        state = relocate_fn(state, config)
     for _ in range(config.substeps):
         with jax.named_scope("solve_collisions"):
             state = collide_fn(state, config)

@@ -1,4 +1,4 @@
-"""Pallas collide kernel for the persistent tiled pipeline.
+"""Pallas kernels for the persistent tiled pipeline: collide + relocate.
 
 The jnp collide (ops/tiled.py) is a 9 x CAP chain of shifted elementwise
 ops; its performance hangs on XLA fusing ~150 iterations into few HBM
@@ -7,6 +7,25 @@ the tile grid where each program receives its band plus the neighbor bands
 in VMEM, runs the whole 3x3 x CAP pair sweep on-chip, and writes the
 updated band once.  Traffic = 3 reads + 1 write of the state regardless of
 CAP; compute = 9*CAP pair tests per slot on the VPU.
+
+`relocate_pallas` replaces the claim-based jnp relocate (ops/tiled.py)
+whose fixed mover buffer cannot keep up in dense scenes: at the
+reference's 4M-particle config the world is ~98% covered, every step
+~5-10% of particles cross a tile edge, and a 32k buffer defers millions
+(measured: overflow_count +2.7M/step on hardware).  The pull formulation
+needs no buffer at all — two band kernels:
+
+  pass 1 (plan): every tile examines its 8 neighbors' slot k and records,
+    per FREE own slot k, the first neighbor (fixed priority order) whose
+    slot-k occupant wants to move here.  Movers >1 tile from home claim
+    the adjacent tile toward home (one hop per step), so even violent
+    displacement converges without ever losing a particle.
+  pass 2 (apply): symmetric — each tile pulls the planned in-movers and
+    drops occupants whose target's plan names them (both sides read the
+    same plan, so the decision is consistent without communication).
+    Movers that found no free slot stay put, retry next step, and are
+    counted in overflow_count; the 3x3 collide window keeps their pair
+    set correct while one tile stale.
 
 Mosaic layout rules (learned on hardware): a block's last two dims must be
 multiples of (8, 128) or equal to the array dims.  Hence bands of 8 tile
@@ -158,10 +177,11 @@ def collide_pallas(state: TileState, config: SimConfig) -> TileState:
 
     kernel = partial(_collide_band_kernel, cap=cap,
                      stiffness=config.stiffness)
-    # 14 blocks x cap*BAND*TX*4B, double-buffered: past the 16MB default
-    # scoped-VMEM limit at full world width (19.25M at cap=16, TX=1388);
-    # v5e has headroom, so raise the soft limit instead of shrinking blocks
-    vmem_bytes = 4 * (14 * cap * BAND * TX * 4 + (1 << 20))
+    # 14 blocks x cap*BAND*TX*4B double-buffered plus the unrolled sweep's
+    # stack temporaries blow the 16MB default scoped-VMEM limit (measured
+    # 19.25M blocks-only at cap=16, TX=1388; stack OOMs appear even on
+    # small worlds).  v5e has 128M physical VMEM; use a flat generous cap.
+    vmem_bytes = 96 * (1 << 20)
     nx, ny = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -171,11 +191,260 @@ def collide_pallas(state: TileState, config: SimConfig) -> TileState:
             jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32),
             jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32),
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_bytes, 100 * (1 << 20))),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=_interpret(),
     )(*args)
     if pad:
         nx = nx[:, :TY]
         ny = ny[:, :TY]
     return dataclasses.replace(state, x=nx, y=ny)
+
+
+# ---------------------------------------------------------------------------
+# pull-based relocation (two band kernels: plan, then apply)
+# ---------------------------------------------------------------------------
+
+# fixed claim priority: first matching neighbor wins a free slot
+_NEIGHBORS = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+              (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def _rows3(u, m, d):
+    """(above, mid, below) row views from the up/mid/dn blocks."""
+    a, b = _neighbor_rows(u, m, d)
+    return a, m, b
+
+
+def _lane(a, dx: int):
+    """Neighbor column view (wrap hits the empty border columns)."""
+    if dx == 0:
+        return a
+    return pltpu.roll(a, shift=(-dx) % a.shape[2], axis=2)
+
+
+def _view(rows, dy: int, dx: int):
+    return _lane(rows[dy + 1], dx)
+
+
+def _relocate_plan_kernel(tyu, tym, tyd, txu, txm, txd, pu, pm, pd,
+                          plan_ref, *, cap: int):
+    """plan[k] = index into _NEIGHBORS of the in-mover accepted for my
+    free slot k, or -1.  ty*/tx* are per-particle step-target tile coords
+    (precomputed outside: one hop toward home, so always within 3x3)."""
+    ty_rows = _rows3(tyu[...], tym[...], tyd[...])
+    tx_rows = _rows3(txu[...], txm[...], txd[...])
+    p_rows = _rows3(pu[...], pm[...], pd[...])
+
+    band = tym.shape[1]
+    i = pl.program_id(0)
+    my_ty = (i * band + jax.lax.broadcasted_iota(
+        jnp.int32, (1, band, tym.shape[2]), 1))
+    my_tx = jax.lax.broadcasted_iota(jnp.int32, (1, band, tym.shape[2]), 2)
+
+    chosen = [jnp.full_like(my_ty, -1) for _ in range(cap)]
+    for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
+        # hoist the shifted views out of the slot loop (one roll per field)
+        ty_e = _view(ty_rows, ey, ex)
+        tx_e = _view(tx_rows, ey, ex)
+        p_e = _view(p_rows, ey, ex)
+        for k in range(cap):
+            # flipped-slot matching: my slot k is claimed by the neighbor's
+            # slot cap-1-k occupant.  Tiles fill slots from 0 up, so movers
+            # sit in LOW slots while free slots are HIGH — same-index
+            # matching would defer almost every mover in exactly the
+            # common case; the flip aligns the two distributions.
+            s = cap - 1 - k
+            claims = ((p_e[s:s + 1] >= 0)
+                      & (ty_e[s:s + 1] == my_ty)
+                      & (tx_e[s:s + 1] == my_tx))
+            chosen[k] = jnp.where(claims & (chosen[k] < 0), e_idx, chosen[k])
+    pid_mid = p_rows[1]
+    free = pid_mid < 0
+    plan_ref[...] = jnp.where(free, jnp.concatenate(chosen, axis=0), -1)
+
+
+def _relocate_apply_kernel(xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
+                           pyu, pym, pyd, ru, rm, rd, pu, pm, pd,
+                           tym, txm, plu, plm, pld,
+                           ox, oy, opx, opy, orad, opid, odefer,
+                           *, cap: int):
+    """Apply the plan: pull accepted in-movers, vacate accepted leavers,
+    count deferred movers (wanted to move, no slot granted).  A slot never
+    both receives and loses a particle in one step (plans cover only
+    start-empty slots), so pull and vacate are independent selects."""
+    FIELDS = ("x", "y", "px", "py", "r", "pid")
+    rows = {name: _rows3(u[...], m[...], d[...])
+            for name, (u, m, d) in {
+                "x": (xu, xm, xd), "y": (yu, ym, yd),
+                "px": (pxu, pxm, pxd), "py": (pyu, pym, pyd),
+                "r": (ru, rm, rd), "pid": (pu, pm, pd),
+                "plan": (plu, plm, pld)}.items()}
+
+    band = xm.shape[1]
+    i = pl.program_id(0)
+    shape1 = (1, band, xm.shape[2])
+    my_ty = (i * band
+             + jax.lax.broadcasted_iota(jnp.int32, shape1, 1))
+    my_tx = jax.lax.broadcasted_iota(jnp.int32, shape1, 2)
+
+    plan_mid = rows["plan"][1]
+    # per-slot target offsets of my occupants (mid blocks only)
+    dty = [tym[k:k + 1] - my_ty for k in range(cap)]
+    dtx = [txm[k:k + 1] - my_tx for k in range(cap)]
+    moving = [(pm[k:k + 1] >= 0) & ((dty[k] != 0) | (dtx[k] != 0))
+              for k in range(cap)]
+
+    accepted = [jnp.zeros(shape1, bool) for _ in range(cap)]
+    new = {n: [rows[n][1][k:k + 1] for k in range(cap)] for n in FIELDS}
+    for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
+        views = {n: _view(rows[n], ey, ex) for n in FIELDS}
+        plan_e = _view(rows["plan"], ey, ex)
+        # my index in the priority list of the target at offset (ey, ex)
+        me_at_target = _NEIGHBORS.index((-ey, -ex))
+        for k in range(cap):
+            s = cap - 1 - k  # flipped-slot matching (see plan kernel)
+            # leave check: my slot k occupant heading to offset (ey, ex)
+            # was accepted iff the target's plan for slot s names me
+            sel = moving[k] & (dty[k] == ey) & (dtx[k] == ex)
+            accepted[k] = accepted[k] | (
+                sel & (plan_e[s:s + 1] == me_at_target))
+            # pull check: my plan names neighbor e_idx for my slot k; the
+            # in-mover sits in the neighbor's slot s
+            hit = plan_mid[k:k + 1] == e_idx
+            for n in FIELDS:
+                new[n][k] = jnp.where(hit, views[n][s:s + 1], new[n][k])
+
+    defer = jnp.zeros(shape1, jnp.int32)
+    for k in range(cap):
+        take_in = plan_mid[k:k + 1] >= 0
+        # vacate accepted leavers (unless an in-mover took the slot, which
+        # cannot happen: plans cover only start-empty slots)
+        new["pid"][k] = jnp.where(accepted[k] & ~take_in, -1, new["pid"][k])
+        defer = defer + (moving[k] & ~accepted[k]).astype(jnp.int32)
+
+    # compact occupants to low slots: re-establishes the occupied-low /
+    # free-high invariant the flipped-slot matching relies on, and breaks
+    # retry livelocks (a deferred mover's claimed slot changes as tiles
+    # recompact, so it finds space next step instead of waiting forever on
+    # the one slot its first claim hit)
+    occ_new = [new["pid"][k] >= 0 for k in range(cap)]
+    rank = []
+    running = jnp.zeros(shape1, jnp.int32)
+    for k in range(cap):
+        rank.append(running)
+        running = running + occ_new[k].astype(jnp.int32)
+    out = {n: [jnp.zeros(shape1, new[n][0].dtype) for _ in range(cap)]
+           for n in ("x", "y", "px", "py", "r")}
+    out["pid"] = [jnp.full(shape1, -1, jnp.int32) for _ in range(cap)]
+    for k in range(cap):          # source slot
+        for kd in range(k + 1):   # destination slot (rank can only drop)
+            sel = occ_new[k] & (rank[k] == kd)
+            for n in FIELDS:
+                out[n][kd] = jnp.where(sel, new[n][k], out[n][kd])
+
+    ox[...] = jnp.concatenate(out["x"], axis=0)
+    oy[...] = jnp.concatenate(out["y"], axis=0)
+    opx[...] = jnp.concatenate(out["px"], axis=0)
+    opy[...] = jnp.concatenate(out["py"], axis=0)
+    orad[...] = jnp.concatenate(out["r"], axis=0)
+    opid[...] = jnp.concatenate(out["pid"], axis=0)
+    odefer[...] = defer[0]
+
+
+def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
+    """Bufferless relocation: every mover takes (at most) one hop toward
+    its home tile per step.  Drop-in replacement for ops/tiled.relocate
+    (different slot assignment and deferral policy, same physics: particle
+    positions are untouched; only storage location changes)."""
+    from gpu_physics_engine_tpu.ops.tiled import _tile_of, tile_geometry
+
+    cap, TY, TX = state.dims
+    t, gTY, gTX = tile_geometry(config)
+
+    ty_now = jax.lax.broadcasted_iota(jnp.int32, state.x.shape, 1)
+    tx_now = jax.lax.broadcasted_iota(jnp.int32, state.x.shape, 2)
+    ty_want, tx_want = _tile_of(state.x, state.y, jnp.float32(t))
+    ty_want = jnp.clip(ty_want, 1, TY - 2)
+    tx_want = jnp.clip(tx_want, 1, TX - 2)
+    # one hop toward home per step keeps every claim within the 3x3 window
+    ty_step = ty_now + jnp.clip(ty_want - ty_now, -1, 1)
+    tx_step = tx_now + jnp.clip(tx_want - tx_now, -1, 1)
+    live = state.pid >= 0
+    ty_step = jnp.where(live, ty_step, ty_now)
+    tx_step = jnp.where(live, tx_step, tx_now)
+
+    pad = (-TY) % BAND
+    if pad:
+        width = ((0, 0), (0, pad), (0, 0))
+        arrs = dict(
+            x=jnp.pad(state.x, width), y=jnp.pad(state.y, width),
+            px=jnp.pad(state.px, width), py=jnp.pad(state.py, width),
+            r=jnp.pad(state.radius, width),
+            pid=jnp.pad(state.pid, width, constant_values=-1),
+            ty=jnp.pad(ty_step, width), tx=jnp.pad(tx_step, width))
+        # padded rows must keep "not moving" semantics
+        arrs["ty"] = jnp.where(arrs["pid"] >= 0, arrs["ty"],
+                               jax.lax.broadcasted_iota(
+                                   jnp.int32, arrs["ty"].shape, 1))
+        arrs["tx"] = jnp.where(arrs["pid"] >= 0, arrs["tx"],
+                               jax.lax.broadcasted_iota(
+                                   jnp.int32, arrs["tx"].shape, 2))
+    else:
+        arrs = dict(x=state.x, y=state.y, px=state.px, py=state.py,
+                    r=state.radius, pid=state.pid, ty=ty_step, tx=tx_step)
+    TYp = TY + pad
+    nb = TYp // BAND
+
+    def up(i):
+        return (0, jnp.maximum(i - 1, 0), 0)
+
+    def mid(i):
+        return (0, i, 0)
+
+    def dn(i):
+        return (0, jnp.minimum(i + 1, nb - 1), 0)
+
+    def spec3():
+        return [pl.BlockSpec((cap, BAND, TX), m, memory_space=pltpu.VMEM)
+                for m in (up, mid, dn)]
+
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=96 * (1 << 20))
+
+    plan = pl.pallas_call(
+        partial(_relocate_plan_kernel, cap=cap),
+        grid=(nb,),
+        in_specs=spec3() * 3,
+        out_specs=pl.BlockSpec((cap, BAND, TX), mid,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cap, TYp, TX), jnp.int32),
+        compiler_params=vmem,
+        interpret=_interpret(),
+    )(arrs["ty"], arrs["ty"], arrs["ty"],
+      arrs["tx"], arrs["tx"], arrs["tx"],
+      arrs["pid"], arrs["pid"], arrs["pid"])
+
+    mid_spec = pl.BlockSpec((cap, BAND, TX), mid, memory_space=pltpu.VMEM)
+    field_spec = pl.BlockSpec((BAND, TX), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_relocate_apply_kernel, cap=cap),
+        grid=(nb,),
+        in_specs=spec3() * 6 + [mid_spec, mid_spec] + spec3(),
+        out_specs=tuple([mid_spec] * 6 + [field_spec]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32)] * 5
+            + [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.int32),
+               jax.ShapeDtypeStruct((TYp, TX), jnp.int32)]),
+        compiler_params=vmem,
+        interpret=_interpret(),
+    )(*[a for n in ("x", "y", "px", "py", "r", "pid")
+        for a in (arrs[n],) * 3],
+      arrs["ty"], arrs["tx"],
+      plan, plan, plan)
+    nx, ny, npx, npy, nr, npid, defer = outs
+    if pad:
+        nx, ny, npx, npy = nx[:, :TY], ny[:, :TY], npx[:, :TY], npy[:, :TY]
+        nr, npid, defer = nr[:, :TY], npid[:, :TY], defer[:TY]
+    return dataclasses.replace(
+        state, x=nx, y=ny, px=npx, py=npy, radius=nr, pid=npid,
+        overflow_count=state.overflow_count + jnp.sum(defer))

@@ -159,15 +159,18 @@ def tiled_phase_breakdown(config, state, params, repeats: int = 5) -> Dict[str, 
         float(jnp.real(np_leaf.astype(jnp.float32)))
 
     def timeit(name, fn, *args):
-        fn = jax.jit(fn)
-        out = fn(*args)
-        _drain(out)
-        t0 = time.perf_counter()
-        for _ in range(repeats):
+        try:  # keep the other phases' numbers if one backend can't compile
+            fn = jax.jit(fn)
             out = fn(*args)
-        _drain(out)
-        timings[name] = (time.perf_counter() - t0) / repeats * 1e3
-        return out
+            _drain(out)
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                out = fn(*args)
+            _drain(out)
+            timings[name] = (time.perf_counter() - t0) / repeats * 1e3
+        except Exception as e:
+            timings[name] = float("nan")
+            timings[f"{name} error"] = f"{type(e).__name__}"
 
     timeit("(dispatch overhead)", lambda s: s.x + 1.0, state)
     timeit("relocate", partial(tiled.relocate, config=config), state)

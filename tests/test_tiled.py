@@ -183,3 +183,110 @@ def test_auto_tile_cap():
     assert int(eng.state.overflow_count) == 0
     eng.run(5)
     assert eng.num_particles() == 200
+
+
+# ---------------------------------------------------------------------------
+# pull-based Pallas relocation (tiled_pallas.relocate_pallas)
+# ---------------------------------------------------------------------------
+
+def _teleport(st, dx=0.0, dy=0.0):
+    """Shift live particles' positions (simulating motion since binning)."""
+    live = st.pid >= 0
+    return tiled.TileState(
+        x=st.x + jnp.where(live, dx, 0.0), y=st.y + jnp.where(live, dy, 0.0),
+        px=st.px, py=st.py, radius=st.radius, pid=st.pid,
+        num_active=st.num_active, overflow_count=st.overflow_count)
+
+
+def test_pull_relocate_matches_claim_relocate_one_hop():
+    from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+    cfg = _cfg()
+    t, TY, TX = tiled.tile_geometry(cfg)
+    rng = np.random.default_rng(3)
+    n = 64
+    positions = rng.uniform(2.0, 62.0, size=(n, 2)).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+    st = tiled.init_tiles(cfg, positions, radii)
+    # move everyone by up to one tile in a random direction
+    st = _teleport(st, dx=float(0.7 * t), dy=float(-0.6 * t))
+
+    a = tiled.relocate(st, cfg)          # claim-based
+    b = relocate_pallas(st, cfg)         # pull-based
+    assert int(a.overflow_count) == 0
+    # flipped-slot contention may defer a few movers one pass; they must
+    # all land within a couple of retries
+    for _ in range(2):
+        b = relocate_pallas(b, cfg)
+    # same particles, same positions; only slot assignment may differ
+    pa = tiled.export_particles(a)
+    pb = tiled.export_particles(b)
+    for xa, xb in zip(pa, pb):
+        np.testing.assert_array_equal(xa, xb)
+    # and every particle now lives in its home tile
+    occ = np.asarray(b.pid) >= 0
+    k, ty, tx = np.nonzero(occ)
+    want_ty = (np.asarray(b.y)[occ] // t).astype(int) + 1
+    want_tx = (np.asarray(b.x)[occ] // t).astype(int) + 1
+    np.testing.assert_array_equal(ty, want_ty)
+    np.testing.assert_array_equal(tx, want_tx)
+
+
+def test_pull_relocate_multi_hop_converges():
+    from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+    cfg = _cfg(initial_particles=1)
+    t, TY, TX = tiled.tile_geometry(cfg)
+    st = tiled.init_tiles(cfg, np.array([[0.5 * t, 0.5 * t]], np.float32),
+                          np.array([0.5], np.float32))
+    st = _teleport(st, dx=float(3 * t))  # 3 tiles from home
+    for hop in range(3):
+        st = relocate_pallas(st, cfg)
+    occ = np.asarray(st.pid) >= 0
+    assert occ.sum() == 1                # never lost
+    k, ty, tx = np.nonzero(occ)
+    assert (ty[0], tx[0]) == (1, 4)      # home tile after 3 hops
+    assert int(st.overflow_count) == 0   # each hop was granted
+
+
+def test_pull_relocate_full_target_defers_and_retries():
+    from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+    cfg = _cfg(tile_cap=4, initial_particles=6)
+    t, TY, TX = tiled.tile_geometry(cfg)
+    # 4 particles fill tile (1,1); 2 in tile (1,2) want to move into (1,1)
+    fill = [[0.2 * t + 0.1 * i, 0.5 * t] for i in range(4)]
+    movers = [[1.2 * t, 0.3 * t], [1.4 * t, 0.6 * t]]
+    pos = np.array(fill + movers, np.float32)
+    st = tiled.init_tiles(cfg, pos, np.full(6, 0.01, np.float32))
+    # movers teleported left one tile (their home becomes (1,1), full)
+    live = st.pid >= 2  # only the two movers
+    st = tiled.TileState(
+        x=st.x - jnp.where((st.pid >= 4), t, 0.0), y=st.y,
+        px=st.px, py=st.py, radius=st.radius, pid=st.pid,
+        num_active=st.num_active, overflow_count=st.overflow_count)
+    st2 = relocate_pallas(st, cfg)
+    occ = np.asarray(st2.pid) >= 0
+    assert occ.sum() == 6                       # nothing lost
+    assert int(st2.overflow_count) == 2         # both movers deferred
+    # free the two slots the movers' flipped claims land on (slots 3 and 2
+    # of the full tile) -> retry succeeds
+    pid = np.asarray(st2.pid).copy()
+    pid[(pid == 2) | (pid == 3)] = -1
+    st3 = tiled.TileState(
+        x=st2.x, y=st2.y, px=st2.px, py=st2.py, radius=st2.radius,
+        pid=jnp.asarray(pid), num_active=jnp.int32(4),
+        overflow_count=st2.overflow_count)
+    st4 = relocate_pallas(st3, cfg)
+    occ4 = np.asarray(st4.pid) >= 0
+    k, ty, tx = np.nonzero(occ4)
+    assert occ4.sum() == 4
+    assert (tx == 1).all() and (ty == 1).all()  # everyone home in (1,1)
+    assert int(st4.overflow_count) == 2         # no new deferrals
+
+
+def test_tiled_step_with_pallas_relocate_conserves_particles():
+    cfg = _cfg(initial_particles=128, tiled_collide="jnp",
+               tiled_relocate="pallas")
+    eng = TiledEngine(cfg, seed=0)
+    eng.run(30)
+    pid, pos, prev, rad = tiled.export_particles(eng.state)
+    assert len(pid) == 128
+    assert np.isfinite(pos).all()
