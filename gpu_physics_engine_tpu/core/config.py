@@ -113,6 +113,9 @@ class SimConfig:
     # buffer (exact multi-tile jumps, defers on overflow), "auto" = pallas
     # on TPU
     tiled_relocate: str = "auto"
+    # fuse Verlet integration into the Pallas collide kernel (one band
+    # read/write per substep instead of a separate XLA integrate pass)
+    tiled_fuse_integrate: bool = True
     # largest radius the tiling must accommodate; None -> initial_radius
     # (set to spawn_radius_max when interactive spawning is used)
     tile_max_radius: float | None = None

@@ -489,6 +489,15 @@ def tiled_step_fn(state: TileState, params: StepParams,
 
     with jax.named_scope("relocate"):
         state = relocate_fn(state, config)
+    if use_pallas and config.tiled_fuse_integrate:
+        from gpu_physics_engine_tpu.ops.tiled_pallas import (
+            collide_integrate_pallas)
+        for _ in range(config.substeps):
+            with jax.named_scope("solve_and_integrate"):
+                state = collide_integrate_pallas(
+                    state, params, config,
+                    dt_scale=1.0 / config.substeps)
+        return state
     for _ in range(config.substeps):
         with jax.named_scope("solve_collisions"):
             state = collide_fn(state, config)

@@ -76,8 +76,11 @@ def _neighbor_rows(u, m, d):
     return above, below
 
 
-def _collide_band_kernel(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-                         outx_ref, outy_ref, *, cap: int, stiffness: float):
+def _pair_sweep(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+                *, cap: int, stiffness: float):
+    """The 3x3 x CAP Jacobi pair sweep over one band: returns
+    (x, y, acc_x, acc_y) — my loaded positions and my half of every pair
+    correction (collision_solver.wgsl:60-118 math)."""
     x, y, r = xm[...], ym[...], rm[...]
     occ = (pm[...] >= 0).astype(jnp.float32)
 
@@ -137,8 +140,57 @@ def _collide_band_kernel(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
             for k in range(cap):
                 acc_x, acc_y = slot_body(k, (acc_x, acc_y))
 
+    return x, y, acc_x, acc_y
+
+
+def _collide_band_kernel(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+                         outx_ref, outy_ref, *, cap: int, stiffness: float):
+    x, y, acc_x, acc_y = _pair_sweep(
+        xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+        cap=cap, stiffness=stiffness)
     outx_ref[...] = x + acc_x
     outy_ref[...] = y + acc_y
+
+
+def _collide_integrate_band_kernel(
+        prm, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, pxm, pym,
+        ox, oy, opx, opy, *, cap: int, config):
+    """Fused substep: pair sweep + Verlet integration + world constraint,
+    one read and one write of the band per substep (the separate XLA
+    integrate pass costs ~7 ms/step at 4M purely in pass overhead).
+    prm (SMEM): [dt_scaled, mouse_x, mouse_y, pressed]."""
+    from gpu_physics_engine_tpu.ops.integrate import apply_world_constraint
+
+    x, y, acc_x, acc_y = _pair_sweep(
+        xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+        cap=cap, stiffness=config.stiffness)
+    cx = x + acc_x
+    cy = y + acc_y
+
+    occ = pm[...] >= 0
+    r = rm[...]
+    vel_x = cx - pxm[...]
+    vel_y = cy - pym[...]
+    dt = prm[0]
+    mx, my_, pressed = prm[1], prm[2], prm[3]
+
+    dxm = mx - cx
+    dym = my_ - cy
+    dist = jnp.sqrt(dxm * dxm + dym * dym)
+    inv = jnp.where(dist > 1e-6, 1.0 / jnp.maximum(dist, 1e-6), 0.0)
+    strength = jnp.float32(config.mouse_strength) * pressed
+    ax = jnp.float32(config.gravity[0]) + dxm * inv * strength
+    ay = jnp.float32(config.gravity[1]) + dym * inv * strength
+
+    dt2 = dt * dt
+    nx = cx + vel_x + ax * dt2
+    ny = cy + vel_y + ay * dt2
+    nx, ny = apply_world_constraint(nx, ny, r, config)
+
+    ox[...] = jnp.where(occ, nx, cx)
+    oy[...] = jnp.where(occ, ny, cy)
+    opx[...] = jnp.where(occ, cx, pxm[...])
+    opy[...] = jnp.where(occ, cy, pym[...])
 
 
 def collide_pallas(state: TileState, config: SimConfig) -> TileState:
@@ -198,6 +250,65 @@ def collide_pallas(state: TileState, config: SimConfig) -> TileState:
         nx = nx[:, :TY]
         ny = ny[:, :TY]
     return dataclasses.replace(state, x=nx, y=ny)
+
+
+def collide_integrate_pallas(state: TileState, params, config: SimConfig,
+                             dt_scale: float = 1.0) -> TileState:
+    """One fused substep (collide + Verlet integrate), replacing
+    ops/tiled.collide + ops/tiled.integrate on TPU."""
+    cap, TY, TX = state.dims
+    pad = (-TY) % BAND
+    x, y, r, pid, px, py = (state.x, state.y, state.radius, state.pid,
+                            state.px, state.py)
+    if pad:
+        width = ((0, 0), (0, pad), (0, 0))
+        x, y, r, px, py = (jnp.pad(a, width) for a in (x, y, r, px, py))
+        pid = jnp.pad(pid, width, constant_values=-1)
+    TYp = TY + pad
+    nb = TYp // BAND
+
+    def up(i):
+        return (0, jnp.maximum(i - 1, 0), 0)
+
+    def mid(i):
+        return (0, i, 0)
+
+    def dn(i):
+        return (0, jnp.minimum(i + 1, nb - 1), 0)
+
+    def spec(index_map):
+        return pl.BlockSpec((cap, BAND, TX), index_map,
+                            memory_space=pltpu.VMEM)
+
+    prm = jnp.stack([params.dt * jnp.float32(dt_scale),
+                     params.mouse_x, params.mouse_y,
+                     params.mouse_pressed.astype(jnp.float32)])
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [prm]
+    for a in (x, y, r, pid):
+        in_specs += [spec(up), spec(mid), spec(dn)]
+        args += [a, a, a]
+    in_specs += [spec(mid), spec(mid)]
+    args += [px, py]
+
+    kernel = partial(_collide_integrate_band_kernel, cap=cap, config=config)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(spec(mid),) * 4,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32)
+            for _ in range(4)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * (1 << 20)),
+        interpret=_interpret(),
+    )(*args)
+    nx, ny, npx, npy = outs
+    if pad:
+        nx, ny, npx, npy = (a[:, :TY] for a in (nx, ny, npx, npy))
+    return dataclasses.replace(state, x=nx, y=ny, px=npx, py=npy)
 
 
 # ---------------------------------------------------------------------------

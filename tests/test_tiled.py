@@ -290,3 +290,20 @@ def test_tiled_step_with_pallas_relocate_conserves_particles():
     pid, pos, prev, rad = tiled.export_particles(eng.state)
     assert len(pid) == 128
     assert np.isfinite(pos).all()
+
+
+def test_fused_collide_integrate_matches_separate():
+    from gpu_physics_engine_tpu.ops.tiled_pallas import (
+        collide_integrate_pallas, collide_pallas)
+    cfg = _cfg(initial_particles=96, tile_cap=8)
+    rng = np.random.default_rng(7)
+    pos = rng.uniform(2.0, 62.0, size=(96, 2)).astype(np.float32)
+    st = tiled.init_tiles(cfg, pos, np.full(96, 0.5, np.float32))
+    params = StepParams.make(cfg.dt, mouse=(32.0, 32.0), pressed=True)
+
+    a = tiled.integrate(collide_pallas(st, cfg), params, cfg)
+    b = collide_integrate_pallas(st, params, cfg)
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.px), np.asarray(b.px), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.py), np.asarray(b.py), atol=1e-6)
