@@ -275,23 +275,33 @@ def collide(state: TileState, config: SimConfig) -> TileState:
                 rk = ro[k][None]
                 ok = occo[k][None]
 
+                # rsqrt formulation (no sqrt/div — they dominate the VPU
+                # cost of the sweep): dist = d2*rsqrt(d2), 1/rsum =
+                # rsqrt(rsum^2); same pair set and projection as
+                # collision_solver.wgsl:60-118
                 ddx = x - xk
                 ddy = y - yk
-                dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+                d2 = ddx * ddx + ddy * ddy
                 rsum = r + rk
-                pair = ((rsum * rsum > dist * dist)
-                        & (dist > MIN_DISTANCE)).astype(jnp.float32)
+                rsum2 = rsum * rsum
+                pair = ((rsum2 > d2)
+                        & (d2 > MIN_DISTANCE * MIN_DISTANCE)
+                        ).astype(jnp.float32)
                 if self_tile:
                     pair = pair * (1.0 - jax.nn.one_hot(
                         k, cap, dtype=jnp.float32)[:, None, None])
                 w = pair * occf * ok
-                safe = jnp.maximum(dist, MIN_DISTANCE)
+                inv = jax.lax.rsqrt(
+                    jnp.maximum(d2, MIN_DISTANCE * MIN_DISTANCE))
+                dist = d2 * inv
                 pen = (rsum - dist) * stiffness
                 # my half of the pair correction (inverse-mass split,
-                # collision_solver.wgsl:101-110)
-                wi = rk / jnp.maximum(rsum, MIN_DISTANCE)
-                acc_x = acc_x + ddx / safe * pen * wi * w
-                acc_y = acc_y + ddy / safe * pen * wi * w
+                # collision_solver.wgsl:101-110): wi = rk / rsum
+                wi = rk * jax.lax.rsqrt(
+                    jnp.maximum(rsum2, MIN_DISTANCE * MIN_DISTANCE))
+                coef = inv * pen * wi * w
+                acc_x = acc_x + ddx * coef
+                acc_y = acc_y + ddy * coef
 
     return dataclasses.replace(state, x=x + acc_x, y=y + acc_y)
 

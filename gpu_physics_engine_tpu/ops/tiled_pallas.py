@@ -117,23 +117,30 @@ def _pair_sweep(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
                 rk = ro[k:k + 1]
                 ok = oo[k:k + 1]
 
+                # rsqrt formulation, identical op order to ops/tiled.py's
+                # jnp collide (no sqrt/div: they dominate VPU sweep cost)
                 ddx = x - xk
                 ddy = y - yk
-                dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+                d2 = ddx * ddx + ddy * ddy
                 rsum = r + rk
-                pair = ((rsum * rsum > dist * dist)
-                        & (dist > MIN_DISTANCE)).astype(jnp.float32)
+                rsum2 = rsum * rsum
+                pair = ((rsum2 > d2)
+                        & (d2 > MIN_DISTANCE * MIN_DISTANCE)
+                        ).astype(jnp.float32)
                 if self_tile:
                     # mask the self-pair (slot k against itself)
                     pair = pair * (slot != k).astype(jnp.float32)
                 w = pair * occ * ok
-                safe = jnp.maximum(dist, MIN_DISTANCE)
+                inv = jax.lax.rsqrt(
+                    jnp.maximum(d2, MIN_DISTANCE * MIN_DISTANCE))
+                dist = d2 * inv
                 pen = (rsum - dist) * jnp.float32(stiffness)
                 # my half of the pair correction (inverse-mass split,
-                # collision_solver.wgsl:101-110)
-                wi = rk / jnp.maximum(rsum, MIN_DISTANCE)
-                return (ax + ddx / safe * pen * wi * w,
-                        ay + ddy / safe * pen * wi * w)
+                # collision_solver.wgsl:101-110): wi = rk / rsum
+                wi = rk * jax.lax.rsqrt(
+                    jnp.maximum(rsum2, MIN_DISTANCE * MIN_DISTANCE))
+                coef = inv * pen * wi * w
+                return (ax + ddx * coef, ay + ddy * coef)
 
             # static unroll: Mosaic has no dynamic_slice on values, so a
             # fori_loop over slots cannot lower (learned on hardware)
