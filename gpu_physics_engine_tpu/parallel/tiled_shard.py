@@ -106,22 +106,43 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
             x=x, y=y, px=px, py=py, radius=r, pid=pid,
             num_active=num_active, overflow_count=dropped)
 
+        use_pallas = config.tiled_collide == "pallas" or (
+            config.tiled_collide == "auto"
+            and jax.default_backend() == "tpu")
         for _ in range(config.substeps):
-            # ---- 1. halo rows + collide on the extended slab ----
+            # ---- 1. halo rows + collide (+integrate) on the extended slab
             occ = (local.pid >= 0).astype(jnp.float32)
             ext_fields = []
             for f in (local.x, local.y, local.radius, occ):
                 top, bot = exchange_rows(f, 0.0)
                 ext_fields.append(jnp.concatenate([top, f, bot], axis=1))
             ex, ey, er, eocc = ext_fields
+            epid = jnp.where(eocc > 0, 0, -1).astype(_I32)
+            if use_pallas and config.tiled_fuse_integrate:
+                # fused substep on the extended slab: halo rows carry dummy
+                # px/py (their integration output is sliced away; only
+                # their positions/radii feed the middle rows' pair sweep)
+                zrow = jnp.zeros_like(local.px[:, :1, :])
+                ext = TileState(
+                    x=ex, y=ey,
+                    px=jnp.concatenate([zrow, local.px, zrow], axis=1),
+                    py=jnp.concatenate([zrow, local.py, zrow], axis=1),
+                    radius=er, pid=epid,
+                    num_active=local.num_active,
+                    overflow_count=local.overflow_count)
+                from gpu_physics_engine_tpu.ops.tiled_pallas import (
+                    collide_integrate_pallas)
+                solved = collide_integrate_pallas(
+                    ext, params, config, dt_scale=1.0 / config.substeps)
+                local = dataclasses.replace(
+                    local,
+                    x=solved.x[:, 1:-1, :], y=solved.y[:, 1:-1, :],
+                    px=solved.px[:, 1:-1, :], py=solved.py[:, 1:-1, :])
+                continue
             ext = TileState(
-                x=ex, y=ey, px=ex, py=ey, radius=er,
-                pid=jnp.where(eocc > 0, 0, -1).astype(_I32),
+                x=ex, y=ey, px=ex, py=ey, radius=er, pid=epid,
                 num_active=local.num_active,
                 overflow_count=local.overflow_count)
-            use_pallas = config.tiled_collide == "pallas" or (
-                config.tiled_collide == "auto"
-                and jax.default_backend() == "tpu")
             if use_pallas:
                 from gpu_physics_engine_tpu.ops.tiled_pallas import (
                     collide_pallas)
@@ -215,6 +236,9 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
         local_step, mesh=mesh,
         in_specs=(sharded,) * 6 + (rep, rep, rep),
         out_specs=(sharded,) * 6 + (rep, rep),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # fused slab kernel is purely local, so skip the vma check
+        check_vma=False,
     )
 
     @jax.jit

@@ -255,3 +255,33 @@ def test_sharded_tiled_engine_facade(mesh8):
     p = eng.positions()
     assert np.isfinite(p).all()
     assert eng.velocities().shape == p.shape
+
+
+def test_sharded_tiled_fused_pallas_matches_jnp(mesh8):
+    """The fused Pallas substep inside shard_map (interpret mode on CPU)
+    produces the same trajectories as the jnp slab path."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+
+    rng = np.random.default_rng(4)
+    n = 160
+    positions = np.stack([
+        rng.uniform(1.0, 63.0, n), rng.uniform(1.0, 63.0, n)],
+        -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+
+    results = []
+    for collide, fuse in (("jnp", False), ("pallas", True)):
+        cfg = _tcfg(initial_particles=n, tiled_collide=collide,
+                    tiled_fuse_integrate=fuse)
+        st = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+        step = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+        params = StepParams.make(cfg.dt)
+        for _ in range(8):
+            st = step(st, params)
+        pid, pos, prev, _ = export_particles(st)
+        assert int(st.num_active) == n
+        results.append((pid, pos, prev))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_allclose(results[1][1], results[0][1], atol=1e-5)
+    np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-5)
