@@ -75,11 +75,20 @@ def measure_fast(n: int) -> float:
                            lambda e: float(e.state.x[0]))
 
 
+# (tile_cap, tile_multiplier) by size: hardware sweep (PERF.md) — chosen so
+# the deferral rate stays under ~1%/step (the physics-quality bound):
+# 4M jammed scene -> mult 3.3/cap 8 (11.9 ms, 0.78%/step),
+# 1M -> mult 4.4/cap 5 (3.9 ms, 0.95%/step).  Pull relocate + fused Pallas
+# collide resolve via SimConfig "auto" on TPU.
+_TILE_GEOM = {1_048_576: (5, 4.4), 4_194_304: (8, 3.3)}
+
+
 def measure_tiled(n: int) -> float:
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    cap, mult = _TILE_GEOM.get(n, (16, 4.4))
     cfg = SimConfig(max_particles=n, initial_particles=n,
-                    pipeline="tiled", tile_cap=16)
+                    pipeline="tiled", tile_cap=cap, tile_multiplier=mult)
     return _measure_engine(lambda: TiledEngine(cfg, seed=0),
                            lambda e: float(e.state.x[0, 0, 0]))
 
@@ -98,7 +107,7 @@ def main():
     detail = {}
     for n in SIZES:
         entry = {}
-        for name, fn in (("fast", measure_fast), ("tiled", measure_tiled)):
+        for name, fn in (("tiled", measure_tiled), ("fast", measure_fast)):
             if time.time() - t_start > soft_deadline_s and entry:
                 entry[name] = "skipped: soft deadline"
                 continue

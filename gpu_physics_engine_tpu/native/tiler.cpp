@@ -13,12 +13,21 @@
 #include <cmath>
 #include <algorithm>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
 // positions: N*2 f32 (x, y); radii: N f32.
 // out_*: CAP*TY*TX arrays (slot-major), pid filled with -1 by the caller.
 // Returns the number of particles dropped (tile overflow).
+//
+// Overflowing particles SPILL to the nearest interior tile with space in a
+// second pass (Chebyshev ring 1 then ring 2, row-major scan order, spills
+// processed in ascending particle order AFTER all natural placements —
+// mirrored exactly by the numpy fallback in ops/tiled.py): a spilled
+// particle is just a deferred mover — the pull relocate walks it home over
+// the next steps — so a dense random scene starts with every particle
+// present instead of silently simulating fewer.
 int64_t bin_particles(const float* __restrict positions,
                       const float* __restrict prev_positions,
                       const float* __restrict radii,
@@ -32,24 +41,52 @@ int64_t bin_particles(const float* __restrict positions,
     const int64_t ntiles = (int64_t)ty_n * tx_n;
     int64_t dropped = 0;
     const float inv_t = 1.0f / tile_edge;
-    for (int64_t i = 0; i < n; ++i) {
-        const float x = positions[2 * i];
-        const float y = positions[2 * i + 1];
-        int32_t tx = (int32_t)std::floor(x * inv_t) + 1;
-        int32_t ty = (int32_t)std::floor(y * inv_t) + 1;
-        tx = std::min(std::max(tx, 1), tx_n - 2);
-        ty = std::min(std::max(ty, 1), ty_n - 2);
-        const int64_t tile = (int64_t)ty * tx_n + tx;
+
+    auto place = [&](int64_t i, int64_t tile) {
         const int32_t k = fill[tile];
-        if (k >= cap) { ++dropped; continue; }
         fill[tile] = k + 1;
         const int64_t slot = (int64_t)k * ntiles + tile;
-        out_x[slot] = x;
-        out_y[slot] = y;
+        out_x[slot] = positions[2 * i];
+        out_y[slot] = positions[2 * i + 1];
         out_px[slot] = prev_positions[2 * i];
         out_py[slot] = prev_positions[2 * i + 1];
         out_r[slot] = radii[i];
         out_pid[slot] = pids[i];
+    };
+    auto home_of = [&](int64_t i, int32_t* oty, int32_t* otx) {
+        int32_t tx = (int32_t)std::floor(positions[2 * i] * inv_t) + 1;
+        int32_t ty = (int32_t)std::floor(positions[2 * i + 1] * inv_t) + 1;
+        *otx = std::min(std::max(tx, 1), tx_n - 2);
+        *oty = std::min(std::max(ty, 1), ty_n - 2);
+    };
+
+    std::vector<int64_t> overflow;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t ty, tx;
+        home_of(i, &ty, &tx);
+        const int64_t tile = (int64_t)ty * tx_n + tx;
+        if (fill[tile] >= cap) { overflow.push_back(i); continue; }
+        place(i, tile);
+    }
+    for (const int64_t i : overflow) {
+        int32_t ty, tx;
+        home_of(i, &ty, &tx);
+        int64_t tile = -1;
+        for (int32_t ring = 1; ring <= 2 && tile < 0; ++ring) {
+            for (int32_t dy = -ring; dy <= ring && tile < 0; ++dy) {
+                for (int32_t dx = -ring; dx <= ring; ++dx) {
+                    if (std::max(std::abs(dy), std::abs(dx)) != ring)
+                        continue;  // ring boundary only
+                    const int32_t sy = ty + dy, sx = tx + dx;
+                    if (sy < 1 || sy > ty_n - 2 || sx < 1 || sx > tx_n - 2)
+                        continue;
+                    const int64_t cand = (int64_t)sy * tx_n + sx;
+                    if (fill[cand] < cap) { tile = cand; break; }
+                }
+            }
+        }
+        if (tile < 0) { ++dropped; continue; }
+        place(i, tile);
     }
     return dropped;
 }

@@ -194,7 +194,9 @@ def init_tiles(config: SimConfig, positions, radii, pids=None,
             overflow_count=jnp.int32(dropped),
         )
 
-    # numpy fallback: stable sort by tile, slot = rank within run
+    # numpy fallback: stable sort by tile, slot = rank within run; then
+    # spill overflow to nearby tiles in ascending particle order — the
+    # EXACT layout of the native path (natives first, spills second)
     ty = np.clip((positions[:, 1] // t).astype(np.int64) + 1, 1, TY - 2)
     tx = np.clip((positions[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
     tile = ty * TX + tx
@@ -207,9 +209,38 @@ def init_tiles(config: SimConfig, positions, radii, pids=None,
     slot = np.arange(n, dtype=np.int64) - run_start
 
     keep = slot < cap
-    dropped = int(n - keep.sum())
-    flat = slot[keep] * (TY * TX) + tile_sorted[keep]
-    src = order[keep]
+    flat = list(slot[keep] * (TY * TX) + tile_sorted[keep])
+    src = list(order[keep])
+
+    fill = np.bincount(tile, minlength=TY * TX)
+    np.minimum(fill, cap, out=fill)
+    dropped = 0
+    for i in np.sort(order[~keep]):  # ascending particle order
+        dest = -1
+        for ring in (1, 2):
+            for dy in range(-ring, ring + 1):
+                for dx in range(-ring, ring + 1):
+                    if max(abs(dy), abs(dx)) != ring:
+                        continue  # ring boundary only
+                    sy, sx = ty[i] + dy, tx[i] + dx
+                    if not (1 <= sy <= TY - 2 and 1 <= sx <= TX - 2):
+                        continue
+                    cand = sy * TX + sx
+                    if fill[cand] < cap:
+                        dest = cand
+                        break
+                if dest >= 0:
+                    break
+            if dest >= 0:
+                break
+        if dest < 0:
+            dropped += 1
+            continue
+        flat.append(fill[dest] * (TY * TX) + dest)
+        src.append(i)
+        fill[dest] += 1
+    flat = np.asarray(flat, np.int64)
+    src = np.asarray(src, np.int64)
 
     def place(vals, fill=0.0, dtype=np.float32):
         a = np.full(size, fill, dtype)

@@ -307,3 +307,35 @@ def test_fused_collide_integrate_matches_separate():
     np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.px), np.asarray(b.px), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.py), np.asarray(b.py), atol=1e-6)
+
+
+def test_init_spills_overflow_to_nearby_tiles():
+    """A tile past capacity spills its extras to neighbors (both tiler
+    paths, identical layout) instead of dropping them."""
+    cfg = _cfg(tile_cap=2, initial_particles=5)
+    t, TY, TX = tiled.tile_geometry(cfg)
+    # 5 particles in tile (2, 2), cap 2 -> 3 spill into ring-1 neighbors
+    pos = np.array([[1.5 * t + 0.05 * i, 1.5 * t] for i in range(5)],
+                   np.float32)
+    radii = np.full(5, 0.01, np.float32)
+    a = tiled.init_tiles(cfg, pos, radii)
+    saved = (tiled._TILER, tiled._TILER_FAILED)
+    try:
+        tiled._TILER, tiled._TILER_FAILED = None, True
+        b = tiled.init_tiles(cfg, pos, radii)
+    finally:
+        tiled._TILER, tiled._TILER_FAILED = saved
+    for st in (a, b):
+        assert int(st.num_active) == 5
+        assert int(st.overflow_count) == 0
+        occ = np.asarray(st.pid) >= 0
+        k, ty, tx = np.nonzero(occ)
+        assert occ.sum() == 5
+        # home tile holds cap, the rest sit within Chebyshev distance 1
+        assert ((np.abs(ty - 2) <= 1) & (np.abs(tx - 2) <= 1)).all()
+    np.testing.assert_array_equal(np.asarray(a.pid), np.asarray(b.pid))
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    # spilled particles are movers: one relocate pass may return some home
+    # as space allows; nothing is ever lost
+    st2 = tiled.relocate(a, cfg)
+    assert (np.asarray(st2.pid) >= 0).sum() == 5
