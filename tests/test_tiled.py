@@ -339,3 +339,20 @@ def test_init_spills_overflow_to_nearby_tiles():
     # as space allows; nothing is ever lost
     st2 = tiled.relocate(a, cfg)
     assert (np.asarray(st2.pid) >= 0).sum() == 5
+
+
+def test_pull_relocate_deferral_settles_in_dense_scene():
+    """The physics-quality signal: after the initial transient, the
+    per-step deferral rate drops well below the early peak."""
+    cfg = _cfg(initial_particles=400, tile_cap=8, substeps=1,
+               tiled_relocate="pallas", tiled_collide="jnp")
+    eng = TiledEngine(cfg, seed=5)
+    deltas = []
+    prev = int(eng.state.overflow_count)
+    for _ in range(4):
+        eng.run(5)
+        cur = int(eng.state.overflow_count)
+        deltas.append(cur - prev)
+        prev = cur
+    assert eng.num_particles() == 400
+    assert deltas[-1] <= max(deltas[0], 10)  # no runaway growth
