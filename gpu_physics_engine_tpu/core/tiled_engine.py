@@ -65,6 +65,17 @@ class TiledEngine:
         self._sweep = jax.jit(
             lambda s: tiled.relocate(s, config), donate_argnums=0)
         self._steps_done = 0
+
+        # multi-step chunk: K steps scanned inside ONE program.  Dispatch
+        # over the tunneled runtime costs ~5.7 ms per program (measured,
+        # even pipelined), comparable to the 4M device step itself; scanning
+        # amortizes it to ~0.  params is a traced argument, so mouse/dt
+        # changes don't recompile.
+        def _chunk(state, p):
+            return jax.lax.scan(
+                lambda s, _: (tiled.tiled_step_fn(s, p, config), None),
+                state, None, length=self.CHUNK)[0]
+        self._chunk = jax.jit(_chunk, donate_argnums=0)
         self.timer = FrameTimer().start()
         self.mouse_pos: Tuple[float, float] = (0.0, 0.0)
         self.mouse_pressed: bool = False
@@ -90,16 +101,34 @@ class TiledEngine:
         self._steps_done += 1
         return self.state
 
+    CHUNK = 8  # steps per scanned program in run()
+
     def run(self, n_steps: int, sync_every: int = 0):
         p = self.params()
         interval = self.config.sort_interval_steps
-        for i in range(n_steps):
+        done = 0
+        while done < n_steps:
             if (interval and self._steps_done
                     and self._steps_done % interval == 0):
                 self.state = self._sweep(self.state)
-            self.state = self._step(self.state, p)
-            self._steps_done += 1
-            if sync_every and (i + 1) % sync_every == 0:
+            # largest whole chunk that stays inside the sweep cadence and
+            # the sync_every request
+            bound = n_steps - done
+            if interval:
+                bound = min(bound, interval - self._steps_done % interval
+                            if self._steps_done % interval else interval)
+            if sync_every:
+                bound = min(bound, sync_every - done % sync_every
+                            if done % sync_every else sync_every)
+            if bound >= self.CHUNK:
+                self.state = self._chunk(self.state, p)
+                took = self.CHUNK
+            else:
+                self.state = self._step(self.state, p)
+                took = 1
+            self._steps_done += took
+            done += took
+            if sync_every and done % sync_every == 0:
                 jax.block_until_ready(self.state.x)
             self.timer.get_delta()
         return self.state
