@@ -60,9 +60,12 @@ def _rank_hist_kernel(keys_ref, rank_ref, hist_ref, *, shift: int):
     # one-hot row (single masked row-sum, no lane gather needed)
     rank = jnp.sum(pre * onehot, axis=1) - 1
     rank_ref[...] = rank.reshape(rank_ref.shape)
-    # hist is a 1D (BINS,) block into a flat [nblocks * BINS] array: Mosaic
-    # rejects (1, BINS) blocks (sublane dim must be divisible by 8 or full)
-    hist_ref[...] = pre[BLOCK - 1, :].reshape(hist_ref.shape)
+    # hist block is (8, BINS) with only row 0 meaningful: Mosaic rejects
+    # (1, BINS) blocks (sublane dim must be divisible by 8 or full) and a
+    # flat (BINS,) block clashes with XLA's T(1024) layout for 1D arrays
+    # (both learned on hardware); the caller slices rows [::8]
+    hist_ref[...] = jnp.broadcast_to(pre[BLOCK - 1:BLOCK, :],
+                                     hist_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("shift",))
@@ -77,15 +80,16 @@ def _rank_hist(keys_padded: jax.Array, shift: int):
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((BLOCK,), lambda b: (b,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BINS,), lambda b: (b,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BINS), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks * BINS,), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks * 8, BINS), jnp.int32),
         ),
         interpret=_interpret(),
     )(keys_padded)
-    return rank, hist.reshape(nblocks, BINS)
+    return rank, hist[::8]
 
 
 def _one_pass(keys, payload, shift: int):
