@@ -101,7 +101,7 @@ class TiledEngine:
         self._steps_done += 1
         return self.state
 
-    CHUNK = 8  # steps per scanned program in run()
+    CHUNK = 16  # steps per scanned program in run()
 
     def run(self, n_steps: int, sync_every: int = 0):
         p = self.params()

@@ -344,26 +344,37 @@ def _view(rows, dy: int, dx: int):
     return _lane(rows[dy + 1], dx)
 
 
-def _relocate_plan_kernel(tyu, tym, tyd, txu, txm, txd, pu, pm, pd,
-                          plan_ref, *, cap: int):
+def _home_tile(x, y, *, t: float, gTY: int, gTX: int):
+    """Clipped home-tile coords of positions (ops/tiled.py::_tile_of)."""
+    wy = jnp.clip(jnp.floor(y / jnp.float32(t)).astype(jnp.int32) + 1,
+                  1, gTY - 2)
+    wx = jnp.clip(jnp.floor(x / jnp.float32(t)).astype(jnp.int32) + 1,
+                  1, gTX - 2)
+    return wy, wx
+
+
+def _relocate_plan_kernel(xu, xm, xd, yu, ym, yd, pu, pm, pd,
+                          plan_ref, *, cap: int, t: float, gTY: int,
+                          gTX: int):
     """plan[k] = index into _NEIGHBORS of the in-mover accepted for my
-    free slot k, or -1.  ty*/tx* are per-particle step-target tile coords
-    (precomputed outside: one hop toward home, so always within 3x3)."""
-    ty_rows = _rows3(tyu[...], tym[...], tyd[...])
-    tx_rows = _rows3(txu[...], txm[...], txd[...])
+    free slot k, or -1.  Step targets (one hop toward home, so always
+    within 3x3) are computed in-kernel from positions — no materialized
+    target maps in HBM."""
+    x_rows = _rows3(xu[...], xm[...], xd[...])
+    y_rows = _rows3(yu[...], ym[...], yd[...])
     p_rows = _rows3(pu[...], pm[...], pd[...])
 
-    band = tym.shape[1]
+    band = xm.shape[1]
     i = pl.program_id(0)
     my_ty = (i * band + jax.lax.broadcasted_iota(
-        jnp.int32, (1, band, tym.shape[2]), 1))
-    my_tx = jax.lax.broadcasted_iota(jnp.int32, (1, band, tym.shape[2]), 2)
+        jnp.int32, (1, band, xm.shape[2]), 1))
+    my_tx = jax.lax.broadcasted_iota(jnp.int32, (1, band, xm.shape[2]), 2)
 
     chosen = [jnp.full_like(my_ty, -1) for _ in range(cap)]
     for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
         # hoist the shifted views out of the slot loop (one roll per field)
-        ty_e = _view(ty_rows, ey, ex)
-        tx_e = _view(tx_rows, ey, ex)
+        x_e = _view(x_rows, ey, ex)
+        y_e = _view(y_rows, ey, ex)
         p_e = _view(p_rows, ey, ex)
         for k in range(cap):
             # flipped-slot matching: my slot k is claimed by the neighbor's
@@ -372,20 +383,32 @@ def _relocate_plan_kernel(tyu, tym, tyd, txu, txm, txd, pu, pm, pd,
             # matching would defer almost every mover in exactly the
             # common case; the flip aligns the two distributions.
             s = cap - 1 - k
+            wy, wx = _home_tile(x_e[s:s + 1], y_e[s:s + 1],
+                                t=t, gTY=gTY, gTX=gTX)
+            # candidate's one-hop step target == me?  its row is my_ty+ey,
+            # so it hops to me iff clip(home - row, -1, 1) == -ey (same x)
             claims = ((p_e[s:s + 1] >= 0)
-                      & (ty_e[s:s + 1] == my_ty)
-                      & (tx_e[s:s + 1] == my_tx))
+                      & (jnp.clip(wy - (my_ty + ey), -1, 1) == -ey)
+                      & (jnp.clip(wx - (my_tx + ex), -1, 1) == -ex))
             chosen[k] = jnp.where(claims & (chosen[k] < 0), e_idx, chosen[k])
     pid_mid = p_rows[1]
     free = pid_mid < 0
-    plan_ref[...] = jnp.where(free, jnp.concatenate(chosen, axis=0), -1)
+    # only interior tiles may pull: step targets are always interior (home
+    # coords are clipped), and the clamped band-edge/lane-wrap views feed
+    # garbage rows exactly at border lanes — without this gate a border
+    # tile would satisfy the relative claim test against a wrapped row and
+    # DUPLICATE the particle (found by the conservation test)
+    interior = ((my_ty >= 1) & (my_ty <= gTY - 2)
+                & (my_tx >= 1) & (my_tx <= gTX - 2))
+    plan_ref[...] = jnp.where(free & interior,
+                              jnp.concatenate(chosen, axis=0), -1)
 
 
 def _relocate_apply_kernel(xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
                            pyu, pym, pyd, ru, rm, rd, pu, pm, pd,
-                           tym, txm, plu, plm, pld,
+                           plu, plm, pld,
                            ox, oy, opx, opy, orad, opid, odefer,
-                           *, cap: int):
+                           *, cap: int, t: float, gTY: int, gTX: int):
     """Apply the plan: pull accepted in-movers, vacate accepted leavers,
     count deferred movers (wanted to move, no slot granted).  A slot never
     both receives and loses a particle in one step (plans cover only
@@ -406,11 +429,16 @@ def _relocate_apply_kernel(xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
     my_tx = jax.lax.broadcasted_iota(jnp.int32, shape1, 2)
 
     plan_mid = rows["plan"][1]
-    # per-slot target offsets of my occupants (mid blocks only)
-    dty = [tym[k:k + 1] - my_ty for k in range(cap)]
-    dtx = [txm[k:k + 1] - my_tx for k in range(cap)]
-    moving = [(pm[k:k + 1] >= 0) & ((dty[k] != 0) | (dtx[k] != 0))
-              for k in range(cap)]
+    # per-slot one-hop target offsets of my occupants (from mid positions,
+    # the same _home_tile expression the plan kernel evaluates)
+    dty, dtx, moving = [], [], []
+    for k in range(cap):
+        wy, wx = _home_tile(xm[k:k + 1], ym[k:k + 1],
+                            t=t, gTY=gTY, gTX=gTX)
+        dty.append(jnp.clip(wy - my_ty, -1, 1))
+        dtx.append(jnp.clip(wx - my_tx, -1, 1))
+        moving.append((pm[k:k + 1] >= 0)
+                      & ((dty[k] != 0) | (dtx[k] != 0)))
 
     accepted = [jnp.zeros(shape1, bool) for _ in range(cap)]
     new = {n: [rows[n][1][k:k + 1] for k in range(cap)] for n in FIELDS}
@@ -474,22 +502,12 @@ def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
     its home tile per step.  Drop-in replacement for ops/tiled.relocate
     (different slot assignment and deferral policy, same physics: particle
     positions are untouched; only storage location changes)."""
-    from gpu_physics_engine_tpu.ops.tiled import _tile_of, tile_geometry
+    from gpu_physics_engine_tpu.ops.tiled import tile_geometry
 
     cap, TY, TX = state.dims
-    t, gTY, gTX = tile_geometry(config)
-
-    ty_now = jax.lax.broadcasted_iota(jnp.int32, state.x.shape, 1)
-    tx_now = jax.lax.broadcasted_iota(jnp.int32, state.x.shape, 2)
-    ty_want, tx_want = _tile_of(state.x, state.y, jnp.float32(t))
-    ty_want = jnp.clip(ty_want, 1, TY - 2)
-    tx_want = jnp.clip(tx_want, 1, TX - 2)
-    # one hop toward home per step keeps every claim within the 3x3 window
-    ty_step = ty_now + jnp.clip(ty_want - ty_now, -1, 1)
-    tx_step = tx_now + jnp.clip(tx_want - tx_now, -1, 1)
-    live = state.pid >= 0
-    ty_step = jnp.where(live, ty_step, ty_now)
-    tx_step = jnp.where(live, tx_step, tx_now)
+    t = tile_geometry(config)[0]
+    # clip bounds use THIS state's dims (sharded slabs pass local slabs)
+    gTY, gTX = TY, TX
 
     pad = (-TY) % BAND
     if pad:
@@ -498,18 +516,10 @@ def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
             x=jnp.pad(state.x, width), y=jnp.pad(state.y, width),
             px=jnp.pad(state.px, width), py=jnp.pad(state.py, width),
             r=jnp.pad(state.radius, width),
-            pid=jnp.pad(state.pid, width, constant_values=-1),
-            ty=jnp.pad(ty_step, width), tx=jnp.pad(tx_step, width))
-        # padded rows must keep "not moving" semantics
-        arrs["ty"] = jnp.where(arrs["pid"] >= 0, arrs["ty"],
-                               jax.lax.broadcasted_iota(
-                                   jnp.int32, arrs["ty"].shape, 1))
-        arrs["tx"] = jnp.where(arrs["pid"] >= 0, arrs["tx"],
-                               jax.lax.broadcasted_iota(
-                                   jnp.int32, arrs["tx"].shape, 2))
+            pid=jnp.pad(state.pid, width, constant_values=-1))
     else:
         arrs = dict(x=state.x, y=state.y, px=state.px, py=state.py,
-                    r=state.radius, pid=state.pid, ty=ty_step, tx=tx_step)
+                    r=state.radius, pid=state.pid)
     TYp = TY + pad
     nb = TYp // BAND
 
@@ -529,7 +539,7 @@ def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
     vmem = pltpu.CompilerParams(vmem_limit_bytes=96 * (1 << 20))
 
     plan = pl.pallas_call(
-        partial(_relocate_plan_kernel, cap=cap),
+        partial(_relocate_plan_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX),
         grid=(nb,),
         in_specs=spec3() * 3,
         out_specs=pl.BlockSpec((cap, BAND, TX), mid,
@@ -537,17 +547,17 @@ def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
         out_shape=jax.ShapeDtypeStruct((cap, TYp, TX), jnp.int32),
         compiler_params=vmem,
         interpret=_interpret(),
-    )(arrs["ty"], arrs["ty"], arrs["ty"],
-      arrs["tx"], arrs["tx"], arrs["tx"],
+    )(arrs["x"], arrs["x"], arrs["x"],
+      arrs["y"], arrs["y"], arrs["y"],
       arrs["pid"], arrs["pid"], arrs["pid"])
 
     mid_spec = pl.BlockSpec((cap, BAND, TX), mid, memory_space=pltpu.VMEM)
     field_spec = pl.BlockSpec((BAND, TX), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        partial(_relocate_apply_kernel, cap=cap),
+        partial(_relocate_apply_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX),
         grid=(nb,),
-        in_specs=spec3() * 6 + [mid_spec, mid_spec] + spec3(),
+        in_specs=spec3() * 6 + spec3(),
         out_specs=tuple([mid_spec] * 6 + [field_spec]),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32)] * 5
@@ -557,7 +567,6 @@ def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
         interpret=_interpret(),
     )(*[a for n in ("x", "y", "px", "py", "r", "pid")
         for a in (arrs[n],) * 3],
-      arrs["ty"], arrs["tx"],
       plan, plan, plan)
     nx, ny, npx, npy, nr, npid, defer = outs
     if pad:
