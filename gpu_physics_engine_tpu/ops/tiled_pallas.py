@@ -353,21 +353,27 @@ def _home_tile(x, y, *, t: float, gTY: int, gTX: int):
     return wy, wx
 
 
-def _relocate_plan_kernel(xu, xm, xd, yu, ym, yd, pu, pm, pd,
+def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
                           plan_ref, *, cap: int, t: float, gTY: int,
-                          gTX: int):
+                          gTX: int, local_rows: int):
     """plan[k] = index into _NEIGHBORS of the in-mover accepted for my
     free slot k, or -1.  Step targets (one hop toward home, so always
     within 3x3) are computed in-kernel from positions — no materialized
-    target maps in HBM."""
+    target maps in HBM.
+
+    r0 (SMEM scalar) is the slab's first global tile row: on a sharded
+    slab my local row l is global row r0+l; gTY/gTX are the GLOBAL grid
+    dims (home coords are clipped against them) and local_rows the slab's
+    unpadded row count.  Single-chip: r0=0, local_rows=gTY."""
     x_rows = _rows3(xu[...], xm[...], xd[...])
     y_rows = _rows3(yu[...], ym[...], yd[...])
     p_rows = _rows3(pu[...], pm[...], pd[...])
 
     band = xm.shape[1]
     i = pl.program_id(0)
-    my_ty = (i * band + jax.lax.broadcasted_iota(
-        jnp.int32, (1, band, xm.shape[2]), 1))
+    my_row = (i * band + jax.lax.broadcasted_iota(
+        jnp.int32, (1, band, xm.shape[2]), 1))       # local
+    my_ty = my_row + r0[0]                            # global
     my_tx = jax.lax.broadcasted_iota(jnp.int32, (1, band, xm.shape[2]), 2)
 
     chosen = [jnp.full_like(my_ty, -1) for _ in range(cap)]
@@ -376,6 +382,12 @@ def _relocate_plan_kernel(xu, xm, xd, yu, ym, yd, pu, pm, pd,
         x_e = _view(x_rows, ey, ex)
         y_e = _view(y_rows, ey, ex)
         p_e = _view(p_rows, ey, ex)
+        # the clamped band-edge / lane-wrap views feed garbage rows when
+        # the neighbor offset leaves the local slab — without this mask a
+        # tile satisfies the relative claim test against a wrapped row and
+        # DUPLICATES the particle (found by the conservation test)
+        valid_e = ((my_row + ey >= 0) & (my_row + ey <= local_rows - 1)
+                   & (my_tx + ex >= 0) & (my_tx + ex <= gTX - 1))
         for k in range(cap):
             # flipped-slot matching: my slot k is claimed by the neighbor's
             # slot cap-1-k occupant.  Tiles fill slots from 0 up, so movers
@@ -387,32 +399,35 @@ def _relocate_plan_kernel(xu, xm, xd, yu, ym, yd, pu, pm, pd,
                                 t=t, gTY=gTY, gTX=gTX)
             # candidate's one-hop step target == me?  its row is my_ty+ey,
             # so it hops to me iff clip(home - row, -1, 1) == -ey (same x)
-            claims = ((p_e[s:s + 1] >= 0)
+            claims = (valid_e & (p_e[s:s + 1] >= 0)
                       & (jnp.clip(wy - (my_ty + ey), -1, 1) == -ey)
                       & (jnp.clip(wx - (my_tx + ex), -1, 1) == -ex))
             chosen[k] = jnp.where(claims & (chosen[k] < 0), e_idx, chosen[k])
     pid_mid = p_rows[1]
     free = pid_mid < 0
-    # only interior tiles may pull: step targets are always interior (home
-    # coords are clipped), and the clamped band-edge/lane-wrap views feed
-    # garbage rows exactly at border lanes — without this gate a border
-    # tile would satisfy the relative claim test against a wrapped row and
-    # DUPLICATE the particle (found by the conservation test)
+    # only globally-interior tiles may pull (step targets are always
+    # interior: home coords are clipped)
     interior = ((my_ty >= 1) & (my_ty <= gTY - 2)
                 & (my_tx >= 1) & (my_tx <= gTX - 2))
     plan_ref[...] = jnp.where(free & interior,
                               jnp.concatenate(chosen, axis=0), -1)
 
 
-def _relocate_apply_kernel(xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
+def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
                            pyu, pym, pyd, ru, rm, rd, pu, pm, pd,
                            plu, plm, pld,
                            ox, oy, opx, opy, orad, opid, odefer,
-                           *, cap: int, t: float, gTY: int, gTX: int):
+                           *, cap: int, t: float, gTY: int, gTX: int,
+                           local_rows: int):
     """Apply the plan: pull accepted in-movers, vacate accepted leavers,
     count deferred movers (wanted to move, no slot granted).  A slot never
     both receives and loses a particle in one step (plans cover only
-    start-empty slots), so pull and vacate are independent selects."""
+    start-empty slots), so pull and vacate are independent selects.
+    r0 = slab's first global row (see _relocate_plan_kernel).  Moves that
+    would leave the local slab are never accepted here (the sharded caller
+    ships boundary crossers separately BEFORE relocating; a crosser still
+    present — e.g. migration-buffer overflow — must not be vacated against
+    a garbage plan view)."""
     FIELDS = ("x", "y", "px", "py", "r", "pid")
     rows = {name: _rows3(u[...], m[...], d[...])
             for name, (u, m, d) in {
@@ -424,8 +439,9 @@ def _relocate_apply_kernel(xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
     band = xm.shape[1]
     i = pl.program_id(0)
     shape1 = (1, band, xm.shape[2])
-    my_ty = (i * band
-             + jax.lax.broadcasted_iota(jnp.int32, shape1, 1))
+    my_row = (i * band
+              + jax.lax.broadcasted_iota(jnp.int32, shape1, 1))  # local
+    my_ty = my_row + r0[0]                                       # global
     my_tx = jax.lax.broadcasted_iota(jnp.int32, shape1, 2)
 
     plan_mid = rows["plan"][1]
@@ -437,7 +453,9 @@ def _relocate_apply_kernel(xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
                             t=t, gTY=gTY, gTX=gTX)
         dty.append(jnp.clip(wy - my_ty, -1, 1))
         dtx.append(jnp.clip(wx - my_tx, -1, 1))
-        moving.append((pm[k:k + 1] >= 0)
+        in_slab = ((my_row + dty[k] >= 0)
+                   & (my_row + dty[k] <= local_rows - 1))
+        moving.append((pm[k:k + 1] >= 0) & in_slab
                       & ((dty[k] != 0) | (dtx[k] != 0)))
 
     accepted = [jnp.zeros(shape1, bool) for _ in range(cap)]
@@ -497,17 +515,26 @@ def _relocate_apply_kernel(xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
     odefer[...] = defer[0]
 
 
-def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
+def relocate_pallas(state: TileState, config: SimConfig,
+                    row0=None, global_rows: int | None = None) -> TileState:
     """Bufferless relocation: every mover takes (at most) one hop toward
     its home tile per step.  Drop-in replacement for ops/tiled.relocate
     (different slot assignment and deferral policy, same physics: particle
-    positions are untouched; only storage location changes)."""
+    positions are untouched; only storage location changes).
+
+    Sharded slabs pass row0 (traced scalar: the slab's first global tile
+    row) and global_rows (the full grid's row count) after shipping
+    boundary crossers; moves that would leave the slab are left in place
+    here."""
     from gpu_physics_engine_tpu.ops.tiled import tile_geometry
 
     cap, TY, TX = state.dims
     t = tile_geometry(config)[0]
-    # clip bounds use THIS state's dims (sharded slabs pass local slabs)
-    gTY, gTX = TY, TX
+    gTY = TY if global_rows is None else global_rows
+    gTX = TX
+    local_rows = TY
+    r0 = (jnp.zeros((1,), jnp.int32) if row0 is None
+          else jnp.asarray(row0, jnp.int32).reshape((1,)))
 
     pad = (-TY) % BAND
     if pad:
@@ -537,17 +564,20 @@ def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
                 for m in (up, mid, dn)]
 
     vmem = pltpu.CompilerParams(vmem_limit_bytes=96 * (1 << 20))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     plan = pl.pallas_call(
-        partial(_relocate_plan_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX),
+        partial(_relocate_plan_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX,
+                local_rows=local_rows),
         grid=(nb,),
-        in_specs=spec3() * 3,
+        in_specs=[smem] + spec3() * 3,
         out_specs=pl.BlockSpec((cap, BAND, TX), mid,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cap, TYp, TX), jnp.int32),
         compiler_params=vmem,
         interpret=_interpret(),
-    )(arrs["x"], arrs["x"], arrs["x"],
+    )(r0,
+      arrs["x"], arrs["x"], arrs["x"],
       arrs["y"], arrs["y"], arrs["y"],
       arrs["pid"], arrs["pid"], arrs["pid"])
 
@@ -555,9 +585,10 @@ def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
     field_spec = pl.BlockSpec((BAND, TX), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        partial(_relocate_apply_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX),
+        partial(_relocate_apply_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX,
+                local_rows=local_rows),
         grid=(nb,),
-        in_specs=spec3() * 6 + spec3(),
+        in_specs=[smem] + spec3() * 6 + spec3(),
         out_specs=tuple([mid_spec] * 6 + [field_spec]),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32)] * 5
@@ -565,7 +596,8 @@ def relocate_pallas(state: TileState, config: SimConfig) -> TileState:
                jax.ShapeDtypeStruct((TYp, TX), jnp.int32)]),
         compiler_params=vmem,
         interpret=_interpret(),
-    )(*[a for n in ("x", "y", "px", "py", "r", "pid")
+    )(r0,
+      *[a for n in ("x", "y", "px", "py", "r", "pid")
         for a in (arrs[n],) * 3],
       plan, plan, plan)
     nx, ny, npx, npy, nr, npid, defer = outs

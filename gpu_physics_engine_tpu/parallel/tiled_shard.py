@@ -162,14 +162,8 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
         ty_want_g = jnp.clip(ty_want_g, 1, TYp - 2)
         tx_want = jnp.clip(tx_want, 1, TX - 2)
         ty_now_l = jax.lax.broadcasted_iota(_I32, local.x.shape, 1)
+        tx_now = jax.lax.broadcasted_iota(_I32, local.x.shape, 2)
         ty_want_l = ty_want_g - row0
-        mover = occ & ((ty_want_l != ty_now_l)
-                       | (tx_want != jax.lax.broadcasted_iota(
-                           _I32, local.x.shape, 2)))
-        stays = (ty_want_l >= 0) & (ty_want_l < rows)
-        go_up = mover & (ty_want_l < 0)
-        go_dn = mover & (ty_want_l >= rows)
-        local_move = mover & stays
 
         flat_size = cap * rows * TX
 
@@ -192,37 +186,71 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
             return idx, live, fields, extras, n_mask
 
         total_drop = jnp.int32(0)
-
-        # local movers first (claim free slots in my slab)
-        idx_l, live_l, fields_l, (tyl, txl), n_local = pack(
-            local_move, (jnp.clip(ty_want_l, 0, rows - 1), tx_want))
-        total_drop += n_local - jnp.sum(live_l.astype(_I32))
-        new_local, placed = tiled._insert_compacted(
-            local, tyl, txl, fields_l, live_l)
         oob = flat_size + jnp.arange(m_cap, dtype=_I32)
-        rm = jnp.where(placed, idx_l, oob)
-        pidf = new_local.pid.reshape(-1).at[rm].set(
-            -1, mode="drop", unique_indices=True)
-        local = dataclasses.replace(new_local, pid=pidf.reshape(local.pid.shape))
 
-        # cross-slab movers: pack, remove, ppermute, insert
-        for mask, perm, into_row in (
-                (go_up, up_perm, rows - 1), (go_dn, dn_perm, 0)):
-            idx_c, live_c, fields_c, (txc,), n_cross = pack(mask, (tx_want,))
-            total_drop += n_cross - jnp.sum(live_c.astype(_I32))
-            # remove senders (receiver may drop: counted via psum below)
-            rm = jnp.where(live_c, idx_c, oob)
-            pidf = local.pid.reshape(-1).at[rm].set(
+        def ship_crossers(go_up, go_dn, tx_target, local):
+            """Pack, remove, ppermute and insert slab-boundary crossers."""
+            nonlocal total_drop
+            for mask, perm, into_row in (
+                    (go_up, up_perm, rows - 1), (go_dn, dn_perm, 0)):
+                idx_c, live_c, fields_c, (txc,), n_cross = pack(
+                    mask, (tx_target,))
+                total_drop += n_cross - jnp.sum(live_c.astype(_I32))
+                # remove senders (receiver may drop: counted via psum below)
+                rm = jnp.where(live_c, idx_c, oob)
+                pidf = local.pid.reshape(-1).at[rm].set(
+                    -1, mode="drop", unique_indices=True)
+                local = dataclasses.replace(
+                    local, pid=pidf.reshape(local.pid.shape))
+
+                sent = [jax.lax.ppermute(v, axis, perm)
+                        for v in (*fields_c, txc, live_c.astype(_I32))]
+                rf, rtx, rlive = sent[:6], sent[6], sent[7] > 0
+                rty = jnp.full((m_cap,), into_row, _I32)
+                local, placed_c = tiled._insert_compacted(
+                    local, rty, jnp.where(rlive, rtx, 0), tuple(rf), rlive)
+                total_drop += jnp.sum((rlive & ~placed_c).astype(_I32))
+            return local
+
+        pallas_reloc = config.tiled_relocate == "pallas" or (
+            config.tiled_relocate == "auto"
+            and jax.default_backend() == "tpu")
+        if pallas_reloc:
+            # pull relocation on the slab: ship the one-hop boundary
+            # crossers first, then the bufferless band kernels handle every
+            # in-slab mover (ops/tiled_pallas.py — slab coords via row0)
+            from gpu_physics_engine_tpu.ops.tiled_pallas import (
+                relocate_pallas)
+            dty = jnp.clip(ty_want_g - (ty_now_l + row0), -1, 1)
+            dtx = jnp.clip(tx_want - tx_now, -1, 1)
+            go_up = occ & (ty_now_l == 0) & (dty < 0)
+            go_dn = occ & (ty_now_l == rows - 1) & (dty > 0)
+            local = ship_crossers(go_up, go_dn, tx_now + dtx, local)
+            of0 = local.overflow_count
+            local = relocate_pallas(local, config, row0=row0,
+                                    global_rows=TYp)
+            total_drop += local.overflow_count - of0
+            local = dataclasses.replace(local, overflow_count=of0)
+        else:
+            mover = occ & ((ty_want_l != ty_now_l) | (tx_want != tx_now))
+            stays = (ty_want_l >= 0) & (ty_want_l < rows)
+            go_up = mover & (ty_want_l < 0)
+            go_dn = mover & (ty_want_l >= rows)
+            local_move = mover & stays
+
+            # local movers first (claim free slots in my slab)
+            idx_l, live_l, fields_l, (tyl, txl), n_local = pack(
+                local_move, (jnp.clip(ty_want_l, 0, rows - 1), tx_want))
+            total_drop += n_local - jnp.sum(live_l.astype(_I32))
+            new_local, placed = tiled._insert_compacted(
+                local, tyl, txl, fields_l, live_l)
+            rm = jnp.where(placed, idx_l, oob)
+            pidf = new_local.pid.reshape(-1).at[rm].set(
                 -1, mode="drop", unique_indices=True)
-            local = dataclasses.replace(local, pid=pidf.reshape(local.pid.shape))
+            local = dataclasses.replace(
+                new_local, pid=pidf.reshape(local.pid.shape))
 
-            sent = [jax.lax.ppermute(v, axis, perm)
-                    for v in (*fields_c, txc, live_c.astype(_I32))]
-            rf, rtx, rlive = sent[:6], sent[6], sent[7] > 0
-            rty = jnp.full((m_cap,), into_row, _I32)
-            local, placed_c = tiled._insert_compacted(
-                local, rty, jnp.where(rlive, rtx, 0), tuple(rf), rlive)
-            total_drop += jnp.sum((rlive & ~placed_c).astype(_I32))
+            local = ship_crossers(go_up, go_dn, tx_want, local)
 
         n_alive = jax.lax.psum(
             jnp.sum((local.pid >= 0).astype(_I32)), axis)

@@ -285,3 +285,34 @@ def test_sharded_tiled_fused_pallas_matches_jnp(mesh8):
     np.testing.assert_array_equal(results[0][0], results[1][0])
     np.testing.assert_allclose(results[1][1], results[0][1], atol=1e-5)
     np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-5)
+
+
+def test_sharded_tiled_pull_relocate_matches_claim(mesh8):
+    """The slab pull relocate (interpret-mode Pallas inside shard_map)
+    conserves particles and matches the claim-relocate trajectories."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+
+    rng = np.random.default_rng(9)
+    n = 150
+    positions = np.stack([
+        rng.uniform(1.0, 63.0, n), rng.uniform(1.0, 63.0, n)],
+        -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+
+    results = []
+    for reloc in ("jnp", "pallas"):
+        cfg = _tcfg(initial_particles=n, gravity=(0.0, -60.0),
+                    tiled_relocate=reloc)
+        st = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+        step = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+        params = StepParams.make(cfg.dt)
+        for _ in range(12):
+            st = step(st, params)
+        pid, pos, prev, _ = export_particles(st)
+        assert len(pid) == n, f"{reloc}: lost particles"
+        results.append((pid, pos))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    # gravity pulls particles across slab boundaries; trajectories agree
+    # (same pair sets; relocation never touches positions)
+    np.testing.assert_allclose(results[1][1], results[0][1], atol=1e-5)
