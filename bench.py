@@ -50,8 +50,8 @@ import jax
 
 BASELINE_MS = {1_048_576: 3.66, 4_194_304: 22.70}
 SIZES = [1_048_576, 4_194_304]
-WARMUP = 3
-WINDOW = 25
+WARMUP = 16   # one full TiledEngine.CHUNK: settles + compiles both paths
+WINDOW = 48   # chunk-aligned (3 scanned programs per window)
 TRIALS = 2
 
 

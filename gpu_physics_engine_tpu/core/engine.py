@@ -40,6 +40,16 @@ class Engine:
             initial_state = state_lib.init_uniform(config, self._next_key())
         self.state = initial_state
         self._step = make_step(config)
+        # K steps scanned inside one program: dispatch over the tunneled
+        # runtime costs ~5.7 ms/program even pipelined (PERF.md); run()
+        # uses this whenever no host interaction is due
+        from gpu_physics_engine_tpu.core.stepper import step_fn
+
+        def _chunk(state, p):
+            return jax.lax.scan(
+                lambda s, _: (step_fn(s, p, config), None),
+                state, None, length=self.CHUNK)[0]
+        self._chunk = jax.jit(_chunk, donate_argnums=0)
         self.timer = FrameTimer().start()
         # Latched input, consumed by every subsequent frame
         # (particle_integration.rs:176-185 latches the same way).
@@ -68,12 +78,25 @@ class Engine:
         self.state = self._step(self.state, params or self.params())
         return self.state
 
+    CHUNK = 8  # steps per scanned program in run()
+
     def run(self, n_steps: int, sync_every: int = 0) -> ParticleState:
         """Advance n frames; optionally block_until_ready periodically."""
         p = self.params()
-        for i in range(n_steps):
-            self.state = self._step(self.state, p)
-            if sync_every and (i + 1) % sync_every == 0:
+        done = 0
+        while done < n_steps:
+            bound = n_steps - done
+            if sync_every:
+                bound = min(bound, sync_every - done % sync_every
+                            if done % sync_every else sync_every)
+            if bound >= self.CHUNK:
+                self.state = self._chunk(self.state, p)
+                took = self.CHUNK
+            else:
+                self.state = self._step(self.state, p)
+                took = 1
+            done += took
+            if sync_every and done % sync_every == 0:
                 jax.block_until_ready(self.state.x)
             self.timer.get_delta()
         jax.block_until_ready(self.state.x)

@@ -106,7 +106,10 @@ def _one_pass(keys, payload, shift: int):
 
     digits = ((keys >> shift) & jnp.uint32(BINS - 1)).astype(jnp.int32)
     block_id = jnp.arange(n, dtype=jnp.int32) // BLOCK
-    dest = offsets[block_id, digits] + rank
+    # flat 1D gather: the 2-index form offsets[block_id, digits] lowers to
+    # a far slower XLA gather (measured 100+ ms/pass at 1M on TPU)
+    dest = jnp.take(offsets.reshape(-1),
+                    block_id * BINS + digits) + rank
 
     # dest is a permutation of [0, n): scatter it once, gather data through
     # the inverse (gathers beat scatters on TPU).
