@@ -240,7 +240,7 @@ def collide_pallas(state: TileState, config: SimConfig) -> TileState:
     # stack temporaries blow the 16MB default scoped-VMEM limit (measured
     # 19.25M blocks-only at cap=16, TX=1388; stack OOMs appear even on
     # small worlds).  v5e has 128M physical VMEM; use a flat generous cap.
-    vmem_bytes = 96 * (1 << 20)
+    vmem_bytes = 116 * (1 << 20)
     nx, ny = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -309,7 +309,7 @@ def collide_integrate_pallas(state: TileState, params, config: SimConfig,
             jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32)
             for _ in range(4)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * (1 << 20)),
+            vmem_limit_bytes=116 * (1 << 20)),
         interpret=_interpret(),
     )(*args)
     nx, ny, npx, npy = outs
@@ -563,7 +563,7 @@ def relocate_pallas(state: TileState, config: SimConfig,
         return [pl.BlockSpec((cap, BAND, TX), m, memory_space=pltpu.VMEM)
                 for m in (up, mid, dn)]
 
-    vmem = pltpu.CompilerParams(vmem_limit_bytes=96 * (1 << 20))
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     plan = pl.pallas_call(
