@@ -316,3 +316,39 @@ def test_sharded_tiled_pull_relocate_matches_claim(mesh8):
     # gravity pulls particles across slab boundaries; trajectories agree
     # (same pair sets; relocation never touches positions)
     np.testing.assert_allclose(results[1][1], results[0][1], atol=1e-5)
+
+
+def test_sharded_tiled_all_pallas_paths(mesh8):
+    """Fused collide+integrate AND pull relocate together inside shard_map
+    (the real-TPU production multichip configuration, interpret mode)."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+
+    rng = np.random.default_rng(11)
+    n = 120
+    positions = np.stack([
+        rng.uniform(1.0, 63.0, n), rng.uniform(1.0, 63.0, n)],
+        -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+
+    cfg = _tcfg(initial_particles=n, gravity=(0.0, -60.0),
+                tiled_collide="pallas", tiled_fuse_integrate=True,
+                tiled_relocate="pallas")
+    st = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+    step = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+    params = StepParams.make(cfg.dt)
+    for _ in range(10):
+        st = step(st, params)
+    pid, pos, prev, _ = export_particles(st)
+    assert len(pid) == n
+    assert np.isfinite(pos).all()
+
+    # reference: the all-jnp sharded path
+    cfg2 = _tcfg(initial_particles=n, gravity=(0.0, -60.0))
+    st2 = tiled_shard.init_sharded_tiles(cfg2, mesh8, positions, radii)
+    step2 = tiled_shard.make_sharded_tiled_step(cfg2, mesh8)
+    for _ in range(10):
+        st2 = step2(st2, params)
+    pid2, pos2, _, _ = export_particles(st2)
+    np.testing.assert_array_equal(pid, pid2)
+    np.testing.assert_allclose(pos, pos2, atol=1e-5)
