@@ -63,21 +63,26 @@ def _scenes() -> Dict[str, Scene]:
                              sort_interval_steps=240, solver="fast", **_WORLD),
             steps=600),
         # config 4: sustained scale + substeps, persistent tiled pipeline
+        # (production geometry from the hardware sweep, PERF.md: 9.8 ms/step
+        # single-substep; substeps=2 doubles the fused solve pass)
         "four_million": Scene(
             name="four_million",
             description="4M sustained, multi-substep collision solve",
             config=SimConfig(max_particles=4_194_304,
                              initial_particles=4_194_304,
                              substeps=2, pipeline="tiled", solver="fast",
-                             tile_cap=16, **_WORLD),
+                             tile_cap=8, tile_multiplier=3.3, **_WORLD),
             steps=200),
-        # config 5: multi-chip stretch (use parallel/halo.py; this entry
-        # carries the single-chip-equivalent config for scale bookkeeping)
+        # config 5: multi-chip stretch (parallel/tiled_shard.py on a mesh;
+        # this entry carries the single-chip-equivalent config — measured
+        # 35.3 ms/step on ONE v5e chip (PERF.md), 4x the reference's max N
         "sixteen_million": Scene(
             name="sixteen_million",
             description="16M on a TPU mesh: slab sharding + ICI halo exchange",
             config=SimConfig(max_particles=16_777_216,
                              initial_particles=16_777_216,
+                             pipeline="tiled", tile_cap=8,
+                             tile_multiplier=3.3,
                              world_width=2.0 * 3048.0, world_height=2.0 * 1048.0),
             steps=100),
     }
