@@ -139,3 +139,24 @@ def test_viewer_renders_tiled_engine(tmp_path):
     frame = viewer.render_engine(eng)
     assert frame.shape == (240, 320, 3)
     assert frame.max() > 0.0
+
+
+def test_tilemap_renders_density_and_velocity():
+    import jax.numpy as jnp
+
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    from gpu_physics_engine_tpu.render.tilemap import render_tilemap, tile_stats
+
+    cfg = SimConfig(max_particles=512, initial_particles=256,
+                    world_width=64.0, world_height=64.0,
+                    pipeline="tiled", tile_cap=16, sort_interval_steps=0)
+    eng = TiledEngine(cfg, seed=0)
+    eng.run(5)
+    count, mean_v = tile_stats(eng.state)
+    assert int(jnp.sum(count)) == 256          # every particle counted once
+    frame = render_tilemap(eng.state, scale=4)
+    _, TY, TX = eng.state.dims
+    assert frame.shape == ((TY - 2) * 4, (TX - 2) * 4, 3)
+    assert frame.dtype.name == "uint8"
+    assert frame.max() > 0                     # something is visible
