@@ -405,10 +405,16 @@ def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
             chosen[k] = jnp.where(claims & (chosen[k] < 0), e_idx, chosen[k])
     pid_mid = p_rows[1]
     free = pid_mid < 0
-    # only globally-interior tiles may pull (step targets are always
-    # interior: home coords are clipped)
+    # only globally-interior REAL tiles may pull (step targets are always
+    # interior: home coords are clipped).  The my_row < local_rows gate
+    # matters on sharded slabs: a slab's pad rows alias the next slab's
+    # global coordinates, and a leftover boundary crosser (migration
+    # buffer overflow) would otherwise be pulled into a pad row by the
+    # plan while the apply side's in-slab gate refuses to vacate it —
+    # duplicating the particle.
     interior = ((my_ty >= 1) & (my_ty <= gTY - 2)
-                & (my_tx >= 1) & (my_tx <= gTX - 2))
+                & (my_tx >= 1) & (my_tx <= gTX - 2)
+                & (my_row <= local_rows - 1))
     plan_ref[...] = jnp.where(free & interior,
                               jnp.concatenate(chosen, axis=0), -1)
 

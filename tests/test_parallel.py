@@ -352,3 +352,30 @@ def test_sharded_tiled_all_pallas_paths(mesh8):
     pid2, pos2, _, _ = export_particles(st2)
     np.testing.assert_array_equal(pid, pid2)
     np.testing.assert_allclose(pos, pos2, atol=1e-5)
+
+
+def test_sharded_tiled_migration_overflow_never_duplicates(mesh8):
+    """A migration buffer too small for the crossers defers them (counted)
+    without ever duplicating or losing a particle — the pad-row planning
+    hole found in review."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+
+    rng = np.random.default_rng(13)
+    n = 96
+    # strong downward gravity drives many simultaneous slab crossings
+    cfg = _tcfg(initial_particles=n, gravity=(0.0, -400.0),
+                migration_capacity=1, tiled_relocate="pallas")
+    positions = np.stack([
+        rng.uniform(1.0, 63.0, n), rng.uniform(1.0, 63.0, n)],
+        -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+    st = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+    step = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+    params = StepParams.make(cfg.dt)
+    for _ in range(15):
+        st = step(st, params)
+    pid, pos, prev, _ = export_particles(st)
+    assert len(pid) == n                      # nothing lost
+    assert len(np.unique(pid)) == n           # nothing duplicated
+    assert np.isfinite(pos).all()
