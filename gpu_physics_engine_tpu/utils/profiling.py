@@ -172,10 +172,19 @@ def tiled_phase_breakdown(config, state, params, repeats: int = 5) -> Dict[str, 
             timings[name] = float("nan")
             timings[f"{name} error"] = f"{type(e).__name__}"
 
+    from gpu_physics_engine_tpu.ops.tiled_pallas import (
+        collide_integrate_pallas, relocate_pallas)
+
     timeit("(dispatch overhead)", lambda s: s.x + 1.0, state)
-    timeit("relocate", partial(tiled.relocate, config=config), state)
+    timeit("relocate (claim/jnp)", partial(tiled.relocate, config=config),
+           state)
+    timeit("relocate (pull/pallas)",
+           partial(relocate_pallas, config=config), state)
     timeit("collide (jnp)", partial(tiled.collide, config=config), state)
     timeit("collide (pallas)", partial(collide_pallas, config=config), state)
+    timeit("collide+integrate (fused)",
+           lambda s, p: collide_integrate_pallas(s, p, config),
+           state, params)
     timeit("particle_integration",
            lambda s, p: tiled.integrate(s, p, config), state, params)
     return timings
