@@ -613,3 +613,214 @@ def relocate_pallas(state: TileState, config: SimConfig,
     return dataclasses.replace(
         state, x=nx, y=ny, px=npx, py=npy, radius=nr, pid=npid,
         overflow_count=state.overflow_count + jnp.sum(defer))
+
+
+# ---------------------------------------------------------------------------
+# single-kernel pull relocation: plans recomputed in-kernel (no plan array)
+# ---------------------------------------------------------------------------
+
+def _rows5(u, m, d):
+    """Row views at offsets -2..+2 from the up/mid/dn blocks (8-row bands
+    keep +-2 inside the three blocks)."""
+    band = m.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    above2 = jnp.where(row < 2, pltpu.roll(u, 2, axis=1),
+                       pltpu.roll(m, 2, axis=1))
+    above1, below1 = _neighbor_rows(u, m, d)
+    below2 = jnp.where(row >= band - 2, pltpu.roll(d, band - 2, axis=1),
+                       pltpu.roll(m, band - 2, axis=1))
+    return (above2, above1, m, below1, below2)
+
+
+def _relocate_one_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
+                         pyu, pym, pyd, ru, rm, rd, pu, pm, pd,
+                         ox, oy, opx, opy, orad, opid, odefer,
+                         *, cap: int, t: float, gTY: int, gTX: int,
+                         local_rows: int):
+    """Plan + apply in ONE kernel: my own plan and my 8 neighbors' plans
+    are recomputed locally from the 5x5 window (8-row bands hold +-2 rows
+    in the up/mid/dn blocks), removing the plan array's HBM round trip and
+    the separate plan pass's field reads (~550 MB/step at 4M).  Claim
+    semantics identical to _relocate_plan_kernel/_relocate_apply_kernel —
+    the equality test pins bit-identical output."""
+    FIELDS = ("x", "y", "px", "py", "r", "pid")
+    rows5 = {"x": _rows5(xu[...], xm[...], xd[...]),
+             "y": _rows5(yu[...], ym[...], yd[...]),
+             "pid": _rows5(pu[...], pm[...], pd[...])}
+    rows3 = {"px": _rows3(pxu[...], pxm[...], pxd[...]),
+             "py": _rows3(pyu[...], pym[...], pyd[...]),
+             "r": _rows3(ru[...], rm[...], rd[...])}
+    rows3.update({n: tuple(rows5[n][1:4]) for n in ("x", "y", "pid")})
+
+    def view5(name, dy, dx):
+        return _lane(rows5[name][dy + 2], dx)
+
+    band = xm.shape[1]
+    i = pl.program_id(0)
+    shape1 = (1, band, xm.shape[2])
+    my_row = (i * band
+              + jax.lax.broadcasted_iota(jnp.int32, shape1, 1))  # local
+    my_ty = my_row + r0[0]                                       # global
+    my_tx = jax.lax.broadcasted_iota(jnp.int32, shape1, 2)
+
+    def plan_for(oy, ox_):
+        """The plan of tile me+(oy, ox_), computed from my 5x5 views."""
+        o_row = my_row + oy
+        o_ty = my_ty + oy
+        o_tx = my_tx + ox_
+        chosen = [jnp.full(shape1, -1, jnp.int32) for _ in range(cap)]
+        for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
+            cy, cx = oy + ey, ox_ + ex      # candidate offset from ME
+            x_e = view5("x", cy, cx)
+            y_e = view5("y", cy, cx)
+            p_e = view5("pid", cy, cx)
+            valid_e = ((o_row + ey >= 0) & (o_row + ey <= local_rows - 1)
+                       & (o_tx + ex >= 0) & (o_tx + ex <= gTX - 1))
+            for k in range(cap):
+                s = cap - 1 - k
+                wy, wx = _home_tile(x_e[s:s + 1], y_e[s:s + 1],
+                                    t=t, gTY=gTY, gTX=gTX)
+                claims = (valid_e & (p_e[s:s + 1] >= 0)
+                          & (jnp.clip(wy - (o_ty + ey), -1, 1) == -ey)
+                          & (jnp.clip(wx - (o_tx + ex), -1, 1) == -ex))
+                chosen[k] = jnp.where(claims & (chosen[k] < 0),
+                                      e_idx, chosen[k])
+        free_pid = view5("pid", oy, ox_)
+        interior = ((o_ty >= 1) & (o_ty <= gTY - 2)
+                    & (o_tx >= 1) & (o_tx <= gTX - 2)
+                    & (o_row <= local_rows - 1))
+        return [jnp.where((free_pid[k:k + 1] < 0) & interior,
+                          chosen[k], -1) for k in range(cap)]
+
+    plan_mid = plan_for(0, 0)
+
+    # per-slot one-hop targets of my occupants
+    dty, dtx, moving = [], [], []
+    for k in range(cap):
+        wy, wx = _home_tile(xm[k:k + 1], ym[k:k + 1],
+                            t=t, gTY=gTY, gTX=gTX)
+        dty.append(jnp.clip(wy - my_ty, -1, 1))
+        dtx.append(jnp.clip(wx - my_tx, -1, 1))
+        in_slab = ((my_row + dty[k] >= 0)
+                   & (my_row + dty[k] <= local_rows - 1))
+        moving.append((pm[k:k + 1] >= 0) & in_slab
+                      & ((dty[k] != 0) | (dtx[k] != 0)))
+
+    accepted = [jnp.zeros(shape1, bool) for _ in range(cap)]
+    new = {n: [rows3[n][1][k:k + 1] for k in range(cap)] for n in FIELDS}
+    for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
+        views = {n: _lane(rows3[n][ey + 1], ex) for n in FIELDS}
+        plan_e = plan_for(ey, ex)
+        me_at_target = _NEIGHBORS.index((-ey, -ex))
+        for k in range(cap):
+            s = cap - 1 - k
+            sel = moving[k] & (dty[k] == ey) & (dtx[k] == ex)
+            accepted[k] = accepted[k] | (sel & (plan_e[s] == me_at_target))
+            hit = plan_mid[k] == e_idx
+            for n in FIELDS:
+                new[n][k] = jnp.where(hit, views[n][s:s + 1], new[n][k])
+
+    defer = jnp.zeros(shape1, jnp.int32)
+    for k in range(cap):
+        take_in = plan_mid[k] >= 0
+        new["pid"][k] = jnp.where(accepted[k] & ~take_in, -1, new["pid"][k])
+        defer = defer + (moving[k] & ~accepted[k]).astype(jnp.int32)
+
+    # compaction (same as _relocate_apply_kernel)
+    occ_new = [new["pid"][k] >= 0 for k in range(cap)]
+    rank = []
+    running = jnp.zeros(shape1, jnp.int32)
+    for k in range(cap):
+        rank.append(running)
+        running = running + occ_new[k].astype(jnp.int32)
+    out = {n: [jnp.zeros(shape1, new[n][0].dtype) for _ in range(cap)]
+           for n in ("x", "y", "px", "py", "r")}
+    out["pid"] = [jnp.full(shape1, -1, jnp.int32) for _ in range(cap)]
+    for k in range(cap):
+        for kd in range(k + 1):
+            sel = occ_new[k] & (rank[k] == kd)
+            for n in FIELDS:
+                out[n][kd] = jnp.where(sel, new[n][k], out[n][kd])
+
+    ox[...] = jnp.concatenate(out["x"], axis=0)
+    oy[...] = jnp.concatenate(out["y"], axis=0)
+    opx[...] = jnp.concatenate(out["px"], axis=0)
+    opy[...] = jnp.concatenate(out["py"], axis=0)
+    orad[...] = jnp.concatenate(out["r"], axis=0)
+    opid[...] = jnp.concatenate(out["pid"], axis=0)
+    odefer[...] = defer[0]
+
+
+def relocate_pallas_one(state: TileState, config: SimConfig,
+                        row0=None, global_rows: int | None = None
+                        ) -> TileState:
+    """Single-kernel variant of relocate_pallas: same semantics
+    (bit-identical output, pinned by test), plans recomputed 9x in-kernel
+    instead of a plan array round trip.  MEASURED SLOWER on hardware
+    (net 6.4 vs 3.3 ms at the 4M production config) — the 5x5 view
+    construction + 9x plan recompute cost more than the saved HBM
+    traffic, so the two-pass version stays the production path.  Kept as
+    the semantics cross-check and a recorded negative result."""
+    from gpu_physics_engine_tpu.ops.tiled import tile_geometry
+
+    cap, TY, TX = state.dims
+    t = tile_geometry(config)[0]
+    gTY = TY if global_rows is None else global_rows
+    gTX = TX
+    local_rows = TY
+    r0 = (jnp.zeros((1,), jnp.int32) if row0 is None
+          else jnp.asarray(row0, jnp.int32).reshape((1,)))
+
+    pad = (-TY) % BAND
+    if pad:
+        width = ((0, 0), (0, pad), (0, 0))
+        arrs = dict(
+            x=jnp.pad(state.x, width), y=jnp.pad(state.y, width),
+            px=jnp.pad(state.px, width), py=jnp.pad(state.py, width),
+            r=jnp.pad(state.radius, width),
+            pid=jnp.pad(state.pid, width, constant_values=-1))
+    else:
+        arrs = dict(x=state.x, y=state.y, px=state.px, py=state.py,
+                    r=state.radius, pid=state.pid)
+    TYp = TY + pad
+    nb = TYp // BAND
+
+    def up(i):
+        return (0, jnp.maximum(i - 1, 0), 0)
+
+    def mid(i):
+        return (0, i, 0)
+
+    def dn(i):
+        return (0, jnp.minimum(i + 1, nb - 1), 0)
+
+    def spec3():
+        return [pl.BlockSpec((cap, BAND, TX), m, memory_space=pltpu.VMEM)
+                for m in (up, mid, dn)]
+
+    mid_spec = pl.BlockSpec((cap, BAND, TX), mid, memory_space=pltpu.VMEM)
+    field_spec = pl.BlockSpec((BAND, TX), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_relocate_one_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX,
+                local_rows=local_rows),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + spec3() * 6,
+        out_specs=tuple([mid_spec] * 6 + [field_spec]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32)] * 5
+            + [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.int32),
+               jax.ShapeDtypeStruct((TYp, TX), jnp.int32)]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=116 * (1 << 20)),
+        interpret=_interpret(),
+    )(r0,
+      *[a for n in ("x", "y", "px", "py", "r", "pid")
+        for a in (arrs[n],) * 3])
+    nx, ny, npx, npy, nr, npid, defer = outs
+    if pad:
+        nx, ny, npx, npy = nx[:, :TY], ny[:, :TY], npx[:, :TY], npy[:, :TY]
+        nr, npid, defer = nr[:, :TY], npid[:, :TY], defer[:TY]
+    return dataclasses.replace(
+        state, x=nx, y=ny, px=npx, py=npy, radius=nr, pid=npid,
+        overflow_count=state.overflow_count + jnp.sum(defer))

@@ -356,3 +356,24 @@ def test_pull_relocate_deferral_settles_in_dense_scene():
         prev = cur
     assert eng.num_particles() == 400
     assert deltas[-1] <= max(deltas[0], 10)  # no runaway growth
+
+
+def test_single_kernel_relocate_matches_two_pass():
+    """relocate_pallas_one (plan recomputed in-kernel) is bit-identical to
+    the two-pass plan/apply relocate."""
+    from gpu_physics_engine_tpu.ops.tiled_pallas import (
+        relocate_pallas, relocate_pallas_one)
+    cfg = _cfg(tile_cap=8)
+    t, TY, TX = tiled.tile_geometry(cfg)
+    rng = np.random.default_rng(17)
+    n = 120
+    positions = rng.uniform(2.0, 62.0, size=(n, 2)).astype(np.float32)
+    st = tiled.init_tiles(cfg, positions, np.full(n, 0.5, np.float32))
+    st = _teleport(st, dx=float(0.8 * t), dy=float(-1.4 * t))
+    a = relocate_pallas(st, cfg)
+    b = relocate_pallas_one(st, cfg)
+    for name in ("x", "y", "px", "py", "radius", "pid"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)),
+                                      err_msg=name)
+    assert int(a.overflow_count) == int(b.overflow_count)
