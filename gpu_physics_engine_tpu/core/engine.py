@@ -78,7 +78,7 @@ class Engine:
         self.state = self._step(self.state, params or self.params())
         return self.state
 
-    CHUNK = 8  # steps per scanned program in run()
+    CHUNK = 16  # steps per scanned program in run() (matches TiledEngine)
 
     def run(self, n_steps: int, sync_every: int = 0) -> ParticleState:
         """Advance n frames; optionally block_until_ready periodically."""
@@ -98,7 +98,7 @@ class Engine:
             done += took
             if sync_every and done % sync_every == 0:
                 jax.block_until_ready(self.state.x)
-            self.timer.get_delta()
+            self.timer.get_delta(frames=took)
         jax.block_until_ready(self.state.x)
         return self.state
 

@@ -33,7 +33,13 @@ def _auto_cap(config: SimConfig, positions) -> int:
 
 class TiledEngine:
     def __init__(self, config: SimConfig, seed: int = 0,
-                 initial_state: Optional[tiled.TileState] = None):
+                 initial_state: Optional[tiled.TileState] = None,
+                 chunk: Optional[int] = None):
+        if chunk is not None:
+            # deeper scan chunks amortize the ~5.7 ms/program dispatch
+            # floor further — worthwhile at small N where the device step
+            # is itself sub-ms (bench.py picks per-size chunks)
+            self.CHUNK = int(chunk)
         self.config = config
         self._key = jax.random.key(seed)
         if initial_state is None:
@@ -54,6 +60,16 @@ class TiledEngine:
                 tile_cap=int(initial_state.dims[0]))
         self.state = initial_state
         self._next_pid = int(self.state.num_active)
+        self._steps_done = 0
+        self._build_compiled()
+        self.timer = FrameTimer().start()
+        self.mouse_pos: Tuple[float, float] = (0.0, 0.0)
+        self.mouse_pressed: bool = False
+
+    def _build_compiled(self):
+        """(Re)build every compiled function for self.config — called at
+        construction and after a _retile geometry change."""
+        config = self.config
         self._step = tiled.make_tiled_step(config)
         self._insert = jax.jit(
             lambda s, p, r, ids: tiled.insert_particles(s, config, p, r, ids),
@@ -61,10 +77,20 @@ class TiledEngine:
         # straggler sweep: the pull relocate moves one hop per step and can
         # transiently defer contended movers; the claim relocate handles
         # arbitrary jumps exactly, so run it at the Morton-resort cadence
-        # (the reference's 4s grid-maintenance analog) as a safety net
+        # (the reference's 4s grid-maintenance analog) as a safety net.
+        # When the pull relocate is active the sweep is NOT optional:
+        # multi-hop-stale movers (displaced >1 tile/step) interact with the
+        # wrong neighborhood until relocated exactly, so a disabled
+        # sort_interval_steps still gets a default cadence (240 steps = the
+        # reference's 4 s at 60 fps, particle_system.rs:13-14).
         self._sweep = jax.jit(
             lambda s: tiled.relocate(s, config), donate_argnums=0)
-        self._steps_done = 0
+        pallas_reloc = config.tiled_relocate == "pallas" or (
+            config.tiled_relocate == "auto"
+            and jax.default_backend() == "tpu")
+        self._sweep_interval = config.sort_interval_steps
+        if pallas_reloc and not self._sweep_interval:
+            self._sweep_interval = 240
 
         # multi-step chunk: K steps scanned inside ONE program.  Dispatch
         # over the tunneled runtime costs ~5.7 ms per program (measured,
@@ -76,9 +102,32 @@ class TiledEngine:
                 lambda s, _: (tiled.tiled_step_fn(s, p, config), None),
                 state, None, length=self.CHUNK)[0]
         self._chunk = jax.jit(_chunk, donate_argnums=0)
-        self.timer = FrameTimer().start()
-        self.mouse_pos: Tuple[float, float] = (0.0, 0.0)
-        self.mouse_pressed: bool = False
+
+    def _retile(self, tile_max_radius: float):
+        """Rebuild the tiling so particles up to ``tile_max_radius`` fit.
+
+        The reference reacts to a spawn by growing cell_size to
+        2.2 x max_radius and rebuilding grid buffers (grid.rs:265-291);
+        the static-shape analog is a full re-tile: export every particle,
+        rebuild TileState at the new geometry (edge 2.2 x new r_max, the
+        reference cell sizing; cap auto-sized from the actual scene), and
+        recompile the step.  One-time cost per radius growth (compile +
+        rebin); physics is preserved exactly (positions/prev/pid carried).
+        """
+        pids, pos, prev, radii = tiled.export_particles(self.state)
+        overflow = int(self.state.overflow_count)
+        new_cfg = self.config.replace(
+            tile_max_radius=float(tile_max_radius),
+            tile_multiplier=2.2, tile_cap=0)
+        new_cfg = new_cfg.replace(tile_cap=_auto_cap(new_cfg, pos))
+        self.config = new_cfg
+        self.state = tiled.init_tiles(new_cfg, pos, radii, pids=pids,
+                                      previous_positions=prev)
+        import dataclasses as _dc
+        self.state = _dc.replace(
+            self.state,
+            overflow_count=self.state.overflow_count + overflow)
+        self._build_compiled()
 
     @classmethod
     def from_arrays(cls, config: SimConfig, positions, radii, **kw):
@@ -94,7 +143,7 @@ class TiledEngine:
             mouse=self.mouse_pos, pressed=self.mouse_pressed)
 
     def step(self, params: Optional[StepParams] = None):
-        interval = self.config.sort_interval_steps
+        interval = self._sweep_interval
         if interval and self._steps_done and self._steps_done % interval == 0:
             self.state = self._sweep(self.state)
         self.state = self._step(self.state, params or self.params())
@@ -105,7 +154,7 @@ class TiledEngine:
 
     def run(self, n_steps: int, sync_every: int = 0):
         p = self.params()
-        interval = self.config.sort_interval_steps
+        interval = self._sweep_interval
         done = 0
         while done < n_steps:
             if (interval and self._steps_done
@@ -130,7 +179,7 @@ class TiledEngine:
             done += took
             if sync_every and done % sync_every == 0:
                 jax.block_until_ready(self.state.x)
-            self.timer.get_delta()
+            self.timer.get_delta(frames=took)
         return self.state
 
     # ---- interaction ----
@@ -152,9 +201,16 @@ class TiledEngine:
 
         count = count or self.config.spawn_burst
         # reference spawn radius is uniform {1, 2, 3} (particle_system.rs:189);
-        # the static tiling must accommodate it — fail loudly, never shrink
-        # particles silently
-        if self.config.tile_max_radius_effective < 1.0:
+        # the static tiling must accommodate it.  When the user set
+        # tile_max_radius explicitly it caps the spawn radii (documented
+        # knob); otherwise re-tile at the full spawn radius — the analog
+        # of the reference growing cell_size and rebuilding its grid on
+        # spawn (grid.rs:265-291).  One-time recompile per radius growth.
+        if self.config.tile_max_radius is None:
+            needed = float(min(self.config.spawn_radius_max, 3.0))
+            if self.config.tile_max_radius_effective < needed:
+                self._retile(needed)
+        elif self.config.tile_max_radius_effective < 1.0:
             raise ValueError(
                 "spawning needs SimConfig.tile_max_radius >= spawn radius "
                 f"(max 3.0); tiling was sized for "
@@ -196,3 +252,15 @@ class TiledEngine:
 
     def cell_size(self) -> float:
         return tiled.tile_geometry(self.config)[0]
+
+    # ---- device-side rendering (render/device.py) ----
+
+    def render_frame(self, rect=None, width: int = 1280,
+                     height: int = 720) -> np.ndarray:
+        """On-chip velocity-colormap frame -> host u8[H, W, 3].
+
+        Downloads only the finished image (2.7 MB at 1280x720) instead of
+        N x 4 particle arrays — the production display path at 1M+."""
+        from gpu_physics_engine_tpu.render.device import render_tiles_device
+        return render_tiles_device(self.state, self.config, rect=rect,
+                                   width=width, height=height)

@@ -121,9 +121,11 @@ def _load_native_tiler():
                               "native")
     lib_path = os.path.join(native_dir, "libtiler.so")
     try:
-        if not os.path.exists(lib_path):
-            subprocess.run(["make", "-s", "-C", native_dir], check=True,
-                           capture_output=True)
+        # Always run make: its own mtime check makes this a no-op when the
+        # .so is fresh, and it rebuilds when tiler.cpp changed (a stale
+        # prebuilt .so would silently diverge from the numpy fallback).
+        subprocess.run(["make", "-s", "-C", native_dir], check=True,
+                       capture_output=True)
         lib = ctypes.CDLL(lib_path)
         f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

@@ -25,7 +25,13 @@ needs no buffer at all — two band kernels:
     same plan, so the decision is consistent without communication).
     Movers that found no free slot stay put, retry next step, and are
     counted in overflow_count; the 3x3 collide window keeps their pair
-    set correct while one tile stale.
+    set correct while AT MOST ONE tile stale.  A particle displaced more
+    than one tile in a single step (or deferred repeatedly under
+    contention) is multi-hop stale: it interacts with the wrong
+    neighborhood for every step until the one-hop walk catches up.  The
+    engine therefore forces a periodic exact claim-relocate sweep
+    (TiledEngine._sweep) even when sort_interval_steps == 0 — do not run
+    long pull-relocate simulations without that safety net.
 
 Mosaic layout rules (learned on hardware): a block's last two dims must be
 multiples of (8, 128) or equal to the array dims.  Hence bands of 8 tile
@@ -61,6 +67,16 @@ BAND = 8  # rows per program = f32 sublane tile
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _sds(shape, dtype, vma=None):
+    """ShapeDtypeStruct for pallas_call out_shape.  ``vma`` names the mesh
+    axes the output varies over — required when the kernel runs inside a
+    ``jax.shard_map`` with ``check_vma=True`` (parallel/tiled_shard.py);
+    None outside shard_map."""
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
 
 
 def _neighbor_rows(u, m, d):
@@ -200,7 +216,8 @@ def _collide_integrate_band_kernel(
     opy[...] = jnp.where(occ, cy, pym[...])
 
 
-def collide_pallas(state: TileState, config: SimConfig) -> TileState:
+def collide_pallas(state: TileState, config: SimConfig,
+                   vma=None) -> TileState:
     """Drop-in replacement for ops/tiled.collide."""
     cap, TY, TX = state.dims
     pad = (-TY) % BAND
@@ -247,8 +264,8 @@ def collide_pallas(state: TileState, config: SimConfig) -> TileState:
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32),
-            jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32),
+            _sds((cap, TYp, TX), jnp.float32, vma),
+            _sds((cap, TYp, TX), jnp.float32, vma),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=_interpret(),
@@ -260,7 +277,7 @@ def collide_pallas(state: TileState, config: SimConfig) -> TileState:
 
 
 def collide_integrate_pallas(state: TileState, params, config: SimConfig,
-                             dt_scale: float = 1.0) -> TileState:
+                             dt_scale: float = 1.0, vma=None) -> TileState:
     """One fused substep (collide + Verlet integrate), replacing
     ops/tiled.collide + ops/tiled.integrate on TPU."""
     cap, TY, TX = state.dims
@@ -306,8 +323,7 @@ def collide_integrate_pallas(state: TileState, params, config: SimConfig,
         in_specs=in_specs,
         out_specs=(spec(mid),) * 4,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32)
-            for _ in range(4)),
+            _sds((cap, TYp, TX), jnp.float32, vma) for _ in range(4)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=116 * (1 << 20)),
         interpret=_interpret(),
@@ -522,7 +538,8 @@ def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
 
 
 def relocate_pallas(state: TileState, config: SimConfig,
-                    row0=None, global_rows: int | None = None) -> TileState:
+                    row0=None, global_rows: int | None = None,
+                    vma=None) -> TileState:
     """Bufferless relocation: every mover takes (at most) one hop toward
     its home tile per step.  Drop-in replacement for ops/tiled.relocate
     (different slot assignment and deferral policy, same physics: particle
@@ -579,7 +596,7 @@ def relocate_pallas(state: TileState, config: SimConfig,
         in_specs=[smem] + spec3() * 3,
         out_specs=pl.BlockSpec((cap, BAND, TX), mid,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cap, TYp, TX), jnp.int32),
+        out_shape=_sds((cap, TYp, TX), jnp.int32, vma),
         compiler_params=vmem,
         interpret=_interpret(),
     )(r0,
@@ -597,9 +614,9 @@ def relocate_pallas(state: TileState, config: SimConfig,
         in_specs=[smem] + spec3() * 6 + spec3(),
         out_specs=tuple([mid_spec] * 6 + [field_spec]),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.float32)] * 5
-            + [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.int32),
-               jax.ShapeDtypeStruct((TYp, TX), jnp.int32)]),
+            [_sds((cap, TYp, TX), jnp.float32, vma)] * 5
+            + [_sds((cap, TYp, TX), jnp.int32, vma),
+               _sds((TYp, TX), jnp.int32, vma)]),
         compiler_params=vmem,
         interpret=_interpret(),
     )(r0,

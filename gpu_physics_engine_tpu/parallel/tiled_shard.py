@@ -15,9 +15,13 @@ pipeline needs (parallel/halo.py):
   3. **Relocation**: movers whose target row stays in the slab use the
      local claim machinery (ops/tiled.py::_insert_compacted); movers that
      cross a slab boundary (a subset of row-crossers, ~0.01%/step) are
-     packed into fixed per-direction buffers, ppermuted, and inserted on
-     the receiving chip.  Buffer overflow defers local movers (retry next
-     step) and counts cross-chip drops — nothing is ever silent.
+     packed into fixed per-direction buffers and shipped with a two-phase
+     commit: copies are ppermuted, the receiver claims slots, the placed
+     mask is ppermuted back, and the sender removes only confirmed
+     entries.  Pack-buffer overflow and receiver-full both DEFER the
+     mover (it stays in place and retries, like the single-chip claim
+     relocate); every deferral is counted per chip — nothing is lost and
+     nothing is silent.
 
 The global tile grid keeps its empty border ring; slab 0's top halo and
 slab n-1's bottom halo read it, so world edges need no special casing.
@@ -79,7 +83,7 @@ def init_sharded_tiles(config: SimConfig, mesh: Mesh, positions, radii
     )
 
 
-def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
+def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh):
     axis = config.mesh_axis
     n = mesh.devices.size
     t, TYp, TX, rows = sharded_tile_geometry(config, n)
@@ -98,6 +102,25 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
             pass  # ppermute zero-fills missing edges; occ/pid zeros = vacant
         return from_above, from_below
 
+    # Backend/config selection is static (resolved at build time, not
+    # trace time), so the vma-check policy can be scoped precisely:
+    #   * jnp path (all-CPU tests): full check_vma.
+    #   * pallas on real TPU: full check_vma; the kernels declare their
+    #     outputs varying over the mesh axis (vma= on their out_shape).
+    #   * pallas in interpret mode (CPU dryrun): check_vma must stay off —
+    #     the HLO interpreter re-evals the kernel jaxpr under the manual
+    #     trace and cannot mix varying refs with kernel constants (JAX
+    #     raises "Primitive ... requires varying manual axes to match" and
+    #     itself prescribes check_vma=False as the workaround).
+    use_pallas = config.tiled_collide == "pallas" or (
+        config.tiled_collide == "auto" and jax.default_backend() == "tpu")
+    pallas_reloc = config.tiled_relocate == "pallas" or (
+        config.tiled_relocate == "auto" and jax.default_backend() == "tpu")
+    interp = jax.default_backend() != "tpu"
+    any_pallas = use_pallas or pallas_reloc
+    check_vma = not (any_pallas and interp)
+    _vma = (axis,) if (any_pallas and check_vma) else None
+
     def local_step(x, y, px, py, r, pid, num_active, dropped,
                    params: StepParams):
         d = jax.lax.axis_index(axis)
@@ -106,9 +129,6 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
             x=x, y=y, px=px, py=py, radius=r, pid=pid,
             num_active=num_active, overflow_count=dropped)
 
-        use_pallas = config.tiled_collide == "pallas" or (
-            config.tiled_collide == "auto"
-            and jax.default_backend() == "tpu")
         for _ in range(config.substeps):
             # ---- 1. halo rows + collide (+integrate) on the extended slab
             occ = (local.pid >= 0).astype(jnp.float32)
@@ -133,7 +153,8 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
                 from gpu_physics_engine_tpu.ops.tiled_pallas import (
                     collide_integrate_pallas)
                 solved = collide_integrate_pallas(
-                    ext, params, config, dt_scale=1.0 / config.substeps)
+                    ext, params, config, dt_scale=1.0 / config.substeps,
+                    vma=_vma)
                 local = dataclasses.replace(
                     local,
                     x=solved.x[:, 1:-1, :], y=solved.y[:, 1:-1, :],
@@ -146,7 +167,7 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
             if use_pallas:
                 from gpu_physics_engine_tpu.ops.tiled_pallas import (
                     collide_pallas)
-                solved = collide_pallas(ext, config)
+                solved = collide_pallas(ext, config, vma=_vma)
             else:
                 solved = tiled.collide(ext, config)
             local = dataclasses.replace(
@@ -189,19 +210,24 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
         oob = flat_size + jnp.arange(m_cap, dtype=_I32)
 
         def ship_crossers(go_up, go_dn, tx_target, local):
-            """Pack, remove, ppermute and insert slab-boundary crossers."""
+            """Ship slab-boundary crossers with a two-phase commit.
+
+            The sender ppermutes COPIES; the receiver claims slots and
+            ppermutes the placed mask back; the sender removes only
+            confirmed entries.  A crosser whose receiving tile is full
+            (floor-jam pile-ups reach genuine cap exhaustion) therefore
+            stays in place and retries next step — the same deferral
+            semantics as the single-chip claim relocate.  Nothing is ever
+            lost; total_drop counts deferral events (pack-buffer overflow
+            + unconfirmed ships), the per-chip physics-quality signal."""
             nonlocal total_drop
-            for mask, perm, into_row in (
-                    (go_up, up_perm, rows - 1), (go_dn, dn_perm, 0)):
+            for mask, perm, back_perm, into_row in (
+                    (go_up, up_perm, dn_perm, rows - 1),
+                    (go_dn, dn_perm, up_perm, 0)):
                 idx_c, live_c, fields_c, (txc,), n_cross = pack(
                     mask, (tx_target,))
+                # pack-buffer overflow: mover stays in place, deferred
                 total_drop += n_cross - jnp.sum(live_c.astype(_I32))
-                # remove senders (receiver may drop: counted via psum below)
-                rm = jnp.where(live_c, idx_c, oob)
-                pidf = local.pid.reshape(-1).at[rm].set(
-                    -1, mode="drop", unique_indices=True)
-                local = dataclasses.replace(
-                    local, pid=pidf.reshape(local.pid.shape))
 
                 sent = [jax.lax.ppermute(v, axis, perm)
                         for v in (*fields_c, txc, live_c.astype(_I32))]
@@ -209,12 +235,20 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
                 rty = jnp.full((m_cap,), into_row, _I32)
                 local, placed_c = tiled._insert_compacted(
                     local, rty, jnp.where(rlive, rtx, 0), tuple(rf), rlive)
-                total_drop += jnp.sum((rlive & ~placed_c).astype(_I32))
+
+                # confirm: receiver returns its placed mask; the sender
+                # removes exactly the entries that now live remotely
+                confirm = jax.lax.ppermute(
+                    placed_c.astype(_I32), axis, back_perm) > 0
+                ok = live_c & confirm
+                rm = jnp.where(ok, idx_c, oob)
+                pidf = local.pid.reshape(-1).at[rm].set(
+                    -1, mode="drop", unique_indices=True)
+                local = dataclasses.replace(
+                    local, pid=pidf.reshape(local.pid.shape))
+                total_drop += jnp.sum((live_c & ~confirm).astype(_I32))
             return local
 
-        pallas_reloc = config.tiled_relocate == "pallas" or (
-            config.tiled_relocate == "auto"
-            and jax.default_backend() == "tpu")
         if pallas_reloc:
             # pull relocation on the slab: ship the one-hop boundary
             # crossers first, then the bufferless band kernels handle every
@@ -228,7 +262,7 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
             local = ship_crossers(go_up, go_dn, tx_now + dtx, local)
             of0 = local.overflow_count
             local = relocate_pallas(local, config, row0=row0,
-                                    global_rows=TYp)
+                                    global_rows=TYp, vma=_vma)
             total_drop += local.overflow_count - of0
             local = dataclasses.replace(local, overflow_count=of0)
         else:
@@ -256,25 +290,36 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
             jnp.sum((local.pid >= 0).astype(_I32)), axis)
         total_drop_g = jax.lax.psum(total_drop, axis)
         return (local.x, local.y, local.px, local.py, local.radius,
-                local.pid, n_alive, dropped + total_drop_g)
+                local.pid, n_alive, dropped + total_drop_g,
+                total_drop[None])  # per-chip deferral this step
 
     sharded = P(None, axis, None)
     rep = P()
     mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(sharded,) * 6 + (rep, rep, rep),
-        out_specs=(sharded,) * 6 + (rep, rep),
-        # pallas_call outputs carry no varying-mesh-axes annotation; the
-        # fused slab kernel is purely local, so skip the vma check
-        check_vma=False,
+        out_specs=(sharded,) * 6 + (rep, rep, P(axis)),
+        check_vma=check_vma,
     )
 
-    @jax.jit
-    def step(state: TileState, params: StepParams) -> TileState:
+    def step_fn(state: TileState, params: StepParams):
+        """(state, per_chip_drop[i32[n_shards]]) — raw, scannable."""
         out = mapped(state.x, state.y, state.px, state.py, state.radius,
                      state.pid, state.num_active, state.overflow_count,
                      params)
-        return TileState(*out)
+        return TileState(*out[:-1]), out[-1]
+
+    return step_fn
+
+
+def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
+    """One jitted sharded step: state, params -> state (facade-compatible;
+    per-chip deferral via make_sharded_tiled_step_fn)."""
+    step_fn = make_sharded_tiled_step_fn(config, mesh)
+
+    @jax.jit
+    def step(state: TileState, params: StepParams) -> TileState:
+        return step_fn(state, params)[0]
 
     return step
 
@@ -351,9 +396,34 @@ class ShardedTiledEngine:
             config = config.replace(tile_cap=_auto_cap(config, positions))
         self.config = config
         self.state = init_sharded_tiles(config, self.mesh, positions, radii)
-        self._step = make_sharded_tiled_step(config, self.mesh)
+        step_fn = make_sharded_tiled_step_fn(config, self.mesh)
+
+        @jax.jit
+        def _step(state, p):
+            return step_fn(state, p)
+
+        # CHUNK steps scanned inside one program (facade parity with
+        # TiledEngine: the tunneled runtime costs ~5.7 ms per dispatched
+        # program, which would dominate the multi-chip step otherwise);
+        # per-chip deferral counts are summed across the chunk.
+        def _chunk_fn(state, p):
+            def body(s, _):
+                s, drops = step_fn(s, p)
+                return s, drops
+            state, drops = jax.lax.scan(
+                body, state, None, length=self.CHUNK)
+            return state, drops.sum(axis=0)
+        self._chunk = jax.jit(_chunk_fn, donate_argnums=0)
+        self._step = _step
         self._insert = make_sharded_insert(config, self.mesh)
         self._next_pid = n
+        # cumulative per-chip deferral/drop counts (i32[n_shards]) — the
+        # physics-quality signal per slab.  Accumulated device-side
+        # (async) so run() keeps its dispatch pipelining; read via the
+        # per_chip_overflow property.
+        self._drops_dev = jax.device_put(
+            np.zeros(self.mesh.devices.size, np.int32),
+            NamedSharding(self.mesh, P(config.mesh_axis)))
         self.timer = FrameTimer().start()
         self.mouse_pos = (0.0, 0.0)
         self.mouse_pressed = False
@@ -363,15 +433,31 @@ class ShardedTiledEngine:
             self.config.dt if dt is None else dt,
             mouse=self.mouse_pos, pressed=self.mouse_pressed)
 
+    CHUNK = 16  # steps per scanned program in run() (TiledEngine parity)
+
+    @property
+    def per_chip_overflow(self) -> np.ndarray:
+        """Cumulative deferral/drop count per chip (host fetch)."""
+        return np.asarray(self._drops_dev, np.int64)
+
     def step(self, params=None):
-        self.state = self._step(self.state, params or self.params())
+        self.state, drops = self._step(self.state, params or self.params())
+        self._drops_dev = self._drops_dev + drops
         return self.state
 
     def run(self, n_steps: int):
         p = self.params()
-        for _ in range(n_steps):
-            self.state = self._step(self.state, p)
-            self.timer.get_delta()
+        done = 0
+        while done < n_steps:
+            if n_steps - done >= self.CHUNK:
+                self.state, drops = self._chunk(self.state, p)
+                took = self.CHUNK
+            else:
+                self.state, drops = self._step(self.state, p)
+                took = 1
+            self._drops_dev = self._drops_dev + drops
+            done += took
+            self.timer.get_delta(frames=took)
         return self.state
 
     def press_mouse(self, world_pos):

@@ -144,8 +144,14 @@ def phase_breakdown(config, state, params, repeats: int = 10) -> Dict[str, float
     return timings
 
 
-def tiled_phase_breakdown(config, state, params, repeats: int = 5) -> Dict[str, float]:
-    """Per-phase device ms for the persistent tiled pipeline."""
+def tiled_phase_breakdown(config, state, params, repeats: int = 5,
+                          errors: Optional[Dict[str, str]] = None,
+                          ) -> Dict[str, float]:
+    """Per-phase device ms for the persistent tiled pipeline.
+
+    The returned dict is float-only (NaN marks a phase whose backend
+    failed to compile); pass ``errors={}`` to also collect the exception
+    type per failed phase."""
     from functools import partial
 
     from gpu_physics_engine_tpu.ops import tiled
@@ -170,7 +176,8 @@ def tiled_phase_breakdown(config, state, params, repeats: int = 5) -> Dict[str, 
             timings[name] = (time.perf_counter() - t0) / repeats * 1e3
         except Exception as e:
             timings[name] = float("nan")
-            timings[f"{name} error"] = f"{type(e).__name__}"
+            if errors is not None:
+                errors[name] = f"{type(e).__name__}"
 
     from gpu_physics_engine_tpu.ops.tiled_pallas import (
         collide_integrate_pallas, relocate_pallas)

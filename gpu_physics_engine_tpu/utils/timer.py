@@ -21,15 +21,20 @@ class FrameTimer:
         self._last = time.perf_counter()
         return self
 
-    def get_delta(self) -> float:
-        """Seconds since the previous call (render_timer.rs:17-24)."""
+    def get_delta(self, frames: int = 1) -> float:
+        """Seconds since the previous call (render_timer.rs:17-24).
+
+        ``frames`` is how many simulation steps the elapsed wall time
+        covers — chunked run() loops advance CHUNK steps per program, and
+        counting the chunk as one frame would inflate average_ms/fps by
+        CHUNK x for any consumer of the timer."""
         now = time.perf_counter()
         if self._last is None:
             self._last = now
             return 0.0
         dt = now - self._last
         self._last = now
-        self.frame_count += 1
+        self.frame_count += max(int(frames), 1)
         self.total_time += dt
         return dt
 

@@ -102,7 +102,10 @@ def test_cross_boundary_collision_resolved(mesh8):
     assert pos.shape[0] == 2
     d1 = abs(pos[0, 0] - pos[1, 0])
     assert d1 > d0  # separation grew
-    assert d1 <= 1.0 + 1e-5 or True  # converging toward contact
+    # overlap (0.2) fully resolved: the pair must be at least in contact
+    # (r1 + r2 = 1.0) — and the Verlet velocity the projection imparted
+    # (~0.12/step) bounds the drift: 5 steps cannot exceed ~1.6
+    assert 1.0 - 1e-5 <= d1 <= 1.6
 
 
 def test_dense_sharded_scene_sane(mesh8):
@@ -135,18 +138,22 @@ def test_sharded_resort_compacts_and_preserves(mesh8):
     sst = halo.init_sharded(cfg, mesh8, positions, radii, slots_per_shard=64)
     sstep = halo.make_sharded_step(cfg, mesh8)
     params = StepParams.make(cfg.dt)
-    for _ in range(10):
+    def is_prefix_compact(s):
+        alive = np.asarray(s.alive).reshape(8, 64)
+        return all(a[:np.nonzero(a)[0][-1] + 1].all()
+                   for a in alive if a.any())
+
+    # steps 7-9 of this seed have migration-punched holes (measured on the
+    # deterministic CPU path); the step-10 resort must close them
+    for _ in range(9):
         sst = sstep(sst, params)
+    assert not is_prefix_compact(sst)  # holes exist before the resort
+    sst = sstep(sst, params)
     pos, _ = halo.gather_alive(sst)
     assert pos.shape[0] + int(np.asarray(sst.dropped).sum()) == n
     assert np.isfinite(pos).all()
-    # alive slots form a prefix within each shard after a resort step
-    alive = np.asarray(sst.alive).reshape(8, 64)
-    for s in range(8):
-        a = alive[s]
-        if a.any():
-            last_true = np.nonzero(a)[0][-1]
-            assert a[:last_true + 1].all() or True  # compaction is best-effort
+    # the resort sank dead slots: alive is a prefix within each shard
+    assert is_prefix_compact(sst)
 
 
 # ---------------- sharded tiled pipeline ----------------

@@ -128,6 +128,38 @@ def test_spawn_and_attractor():
     assert eng.num_particles() == 84
 
 
+def test_spawn_retiles_when_geometry_too_small():
+    """Default geometry (sized for r=0.5) cannot hold a radius-3 spawn;
+    spawn_at must re-tile (grid.rs:265-291 analog) instead of raising,
+    preserving every pre-spawn particle's position and pid."""
+    cfg = _cfg(initial_particles=64, max_particles=256)  # tile_max_radius=None
+    eng = TiledEngine(cfg, seed=5)
+    assert eng.config.tile_max_radius_effective == 0.5
+    pid0, pos0, prev0, rad0 = tiled.export_particles(eng.state)
+    eng.spawn_at((32.0, 32.0), count=30, verbose=False)
+    # geometry grew to fit radius-3 spawns at reference cell sizing
+    assert eng.config.tile_max_radius_effective == 3.0
+    assert eng.cell_size() >= 2.0 * 3.0
+    assert eng.num_particles() == 94
+    pid1, pos1, prev1, rad1 = tiled.export_particles(eng.state)
+    np.testing.assert_array_equal(pid1[:64], pid0)
+    np.testing.assert_allclose(pos1[:64], pos0, rtol=1e-6)
+    np.testing.assert_allclose(prev1[:64], prev0, rtol=1e-6)
+    # spawned radii span the full reference range (1..3 integers)
+    assert rad1[64:].max() >= 2.0
+    eng.run(10)  # recompiled step works at the new geometry
+    assert eng.num_particles() == 94
+    assert np.isfinite(eng.positions()).all()
+
+
+def test_explicit_tile_max_radius_still_caps_spawn():
+    cfg = _cfg(initial_particles=32, max_particles=256, tile_max_radius=1.0)
+    eng = TiledEngine(cfg, seed=2)
+    eng.spawn_at((32.0, 32.0), count=10, verbose=False)
+    assert eng.config.tile_max_radius_effective == 1.0  # no re-tile
+    assert eng.radii().max() <= 1.0
+
+
 def test_tiled_deterministic():
     cfg = _cfg(initial_particles=128)
     a = TiledEngine(cfg, seed=7); a.run(25)

@@ -29,11 +29,19 @@ def _run(solver, pipeline="sorted", steps=40):
                      np.abs(v).mean() * 100.0])
 
 
-# fingerprints: [mean_x, mean_y, std_x, std_y, 100*mean|v|]
+# fingerprints: [mean_x, mean_y, std_x, std_y, 100*mean|v|], generated on
+# the CPU backend (deterministic; the generator asserted two identical
+# runs bit-match before recording).  A semantic regression in any solver
+# family moves these by >> 1e-3; the CPU tolerance below (rtol 1e-6, ~6
+# significant digits) is float-noise-tight without being fragile to
+# vectorization-width differences between x86 hosts.
 _EXPECTED = {
-    "colored": None,  # filled below from the deterministic generator run
-    "fast": None,
-    "tiled": None,
+    "colored": [128.39407348632812, 58.105735778808594, 73.85853576660156,
+                36.64762878417969, 17.650592803955078],
+    "fast": [128.39295959472656, 58.09552764892578, 73.8560562133789,
+             36.618186950683594, 17.265073776245117],
+    "tiled": [127.47721099853516, 57.51222229003906, 73.82646179199219,
+              36.40922546386719, 17.10873794555664],
 }
 
 
@@ -42,6 +50,26 @@ def test_fingerprints_are_reproducible():
     a = _run("fast")
     b = _run("fast")
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name,solver,pipeline", [
+    ("colored", "colored", "sorted"),
+    ("fast", "fast", "sorted"),
+    ("tiled", "fast", "tiled"),
+])
+def test_solver_fingerprints_locked(name, solver, pipeline):
+    """Fixed-seed trajectories match the committed fingerprints.
+
+    CPU: tight (rtol 1e-6).  Other backends (run with JAX_PLATFORMS=tpu):
+    loose bounds covering reduction-order differences."""
+    import jax
+
+    fp = _run(solver, pipeline)
+    expected = np.array(_EXPECTED[name])
+    if jax.default_backend() == "cpu":
+        np.testing.assert_allclose(fp, expected, rtol=1e-6)
+    else:
+        np.testing.assert_allclose(fp, expected, rtol=5e-3)
 
 
 @pytest.mark.parametrize("name,solver,pipeline", [
