@@ -1,21 +1,26 @@
-"""Benchmark: frame time at the reference's headline particle counts.
+"""Benchmark: frame time across the reference's full published size curve.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": ...}
 
-Baseline (BASELINE.md, reference README.md:80-87, RX 6800 XT):
-  1M -> 3.66 ms/frame, 4M -> 22.70 ms/frame.
+Baseline (BASELINE.md, reference README.md:80-87, RX 6800 XT, ms/frame):
+  100k 1.03 | 256k 1.28 | 512k 1.88 | 756k 2.53 | 1M 3.66
+  | 2M 8.417 | 3M 15.62 | 4M 22.70
 North star: 4M particles at <= 22 ms/step on one TPU chip.
 vs_baseline = baseline_ms / our_ms at 4M (>1 means faster than baseline).
 
-Methodology: measures the two production pipelines — the gather-free
-sort+shift solver (solver="fast") and the persistent tiled engine
-(pipeline="tiled") — and reports the better per size.  Every timing window
-ends with a host fetch of a scalar from the final state: on tunneled TPU
-runtimes `block_until_ready` can return before remote completion
-(DESIGN.md §6), so fetch-sync is the only honest clock.  Step time is
-simulation only; the reference's frame time includes its render pass
-(BASELINE.md).
+Methodology: the production persistent-tiled pipeline per size, with the
+hardware-swept tile geometry (scripts/tpu_sweep_curve*.py; greedy slot
+matching on mid-size grids keeps steady-state deferral low).  Per size:
+~400 settling steps (random scenes churn movers for the first few hundred
+steps), then ONE 480-step window that naturally includes the periodic
+exact-relocate sweeps (every 240 steps) — so the reported ms/step is the
+honest steady-state average, maintenance included.  Every window ends
+with a host fetch of one scalar: on tunneled TPU runtimes
+`block_until_ready` can return before remote completion (DESIGN.md §6),
+so fetch-sync is the only honest clock.  Step time is simulation only;
+the reference's frame time includes its render pass (BASELINE.md) —
+device-side rendering is measured separately in `detail.render_4m_ms`.
 """
 
 import json
@@ -23,9 +28,9 @@ import socket
 import sys
 import time
 
-# The axon TPU plugin connects to a local stdio-relay (see /root/.tpu_init.py
-# pattern); if the relay is down, jax device init retries forever.  Probe it
-# and wait (bounded) rather than hanging the benchmark harness.
+# The axon TPU plugin connects to a local stdio-relay; if the relay is
+# down, jax device init retries forever.  Probe it and wait (bounded)
+# rather than hanging the benchmark harness.
 _RELAY_PORTS = (8082, 8083, 8087)
 _RELAY_DEADLINE_S = 1200
 
@@ -48,49 +53,76 @@ def _wait_for_relay():
 
 import jax
 
-BASELINE_MS = {1_048_576: 3.66, 4_194_304: 22.70}
-SIZES = [1_048_576, 4_194_304]
-WARMUP = 16   # one full TiledEngine.CHUNK: settles + compiles both paths
-WINDOW = 48   # chunk-aligned (3 scanned programs per window)
-TRIALS = 2
+BASELINE_MS = {100_000: 1.03, 256_000: 1.28, 512_000: 1.88, 756_000: 2.53,
+               1_048_576: 3.66, 2_000_000: 8.417, 3_000_000: 15.62,
+               4_194_304: 22.70}
+
+# (tile_multiplier, tile_cap, chunk, match) per size — winners of the
+# round-2 hardware sweeps (scripts/tpu_sweep_curve*.py; greedy/flip slot
+# matching + relocate hysteresis): fastest config whose steady-state
+# deferral stays at/near the ~1%/step physics-quality bound.  512k/756k
+# are the curve's hardest points (geometry-bound ~2-2.6 ms floors at
+# quality caps vs 1.88/2.53 ms baselines); faster configs exist at
+# relaxed deferral (512k: mult 5.5/cap 4 = 1.62 ms @ 2.2%).
+_TILE_GEOM = {
+    100_000: (22.0, 8, 128, "greedy"),
+    256_000: (12.1, 8, 128, "greedy"),
+    512_000: (6.6, 6, 128, "greedy"),
+    756_000: (4.4, 4, 32, "greedy"),
+    1_048_576: (4.4, 5, 32, "greedy"),
+    2_000_000: (4.4, 6, 16, "greedy"),
+    3_000_000: (3.3, 6, 16, "flip"),
+    4_194_304: (3.3, 6, 16, "greedy"),
+}
+
+SETTLE = 400     # steps before timing (mover churn decays)
+WINDOW = 480     # timed steps: 2 full 240-step sweep cycles included
 
 
-def _measure_engine(make_engine, drain) -> float:
-    eng = make_engine()
-    eng.run(WARMUP)
-    drain(eng)
-    best = float("inf")
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        eng.run(WINDOW)
-        drain(eng)
-        best = min(best, (time.perf_counter() - t0) / WINDOW * 1e3)
-    return best
-
-
-def measure_fast(n: int) -> float:
-    from gpu_physics_engine_tpu import Engine, SimConfig
-    cfg = SimConfig(max_particles=n, initial_particles=n, solver="fast")
-    return _measure_engine(lambda: Engine(cfg, seed=0),
-                           lambda e: float(e.state.x[0]))
-
-
-# (tile_cap, tile_multiplier) by size: hardware sweep (PERF.md) — chosen so
-# the deferral rate stays under ~1%/step (the physics-quality bound):
-# 4M jammed scene -> mult 3.3/cap 8 (11.9 ms, 0.78%/step),
-# 1M -> mult 4.4/cap 5 (3.9 ms, 0.95%/step).  Pull relocate + fused Pallas
-# collide resolve via SimConfig "auto" on TPU.
-_TILE_GEOM = {1_048_576: (5, 4.4), 4_194_304: (8, 3.3)}
-
-
-def measure_tiled(n: int) -> float:
+def measure_tiled(n: int):
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
-    cap, mult = _TILE_GEOM.get(n, (16, 4.4))
+    mult, cap, chunk, match = _TILE_GEOM[n]
     cfg = SimConfig(max_particles=n, initial_particles=n,
-                    pipeline="tiled", tile_cap=cap, tile_multiplier=mult)
-    return _measure_engine(lambda: TiledEngine(cfg, seed=0),
-                           lambda e: float(e.state.x[0, 0, 0]))
+                    pipeline="tiled", tile_cap=cap, tile_multiplier=mult,
+                    tiled_match=match)
+    eng = TiledEngine(cfg, seed=0, chunk=chunk)
+    settle = SETTLE - SETTLE % chunk
+    eng.run(settle)
+    of0 = float(eng.state.overflow_count)  # fetch = device sync
+    t0 = time.perf_counter()
+    eng.run(WINDOW)
+    float(eng.state.x[0, 0, 0])
+    ms = (time.perf_counter() - t0) / WINDOW * 1e3
+    defer_pct = ((float(eng.state.overflow_count) - of0)
+                 / WINDOW / n * 100.0)
+    return ms, defer_pct, eng
+
+
+def measure_render(eng) -> float:
+    """Device-side 1280x720 frame, end-to-end (render + download)."""
+    eng.render_frame()  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        eng.render_frame()
+    return (time.perf_counter() - t0) / 3 * 1e3
+
+
+def measure_substeps2() -> float:
+    """The BASELINE config-4 scene (four_million: substeps=2)."""
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    mult, cap, chunk, match = _TILE_GEOM[4_194_304]
+    cfg = SimConfig(max_particles=4_194_304, initial_particles=4_194_304,
+                    substeps=2, pipeline="tiled", tile_cap=cap,
+                    tile_multiplier=mult, tiled_match=match)
+    eng = TiledEngine(cfg, seed=0, chunk=chunk)
+    eng.run(128)
+    float(eng.state.x[0, 0, 0])
+    t0 = time.perf_counter()
+    eng.run(96)
+    float(eng.state.x[0, 0, 0])
+    return (time.perf_counter() - t0) / 96 * 1e3
 
 
 def main():
@@ -103,32 +135,48 @@ def main():
         }))
         sys.exit(0)
     t_start = time.time()
-    soft_deadline_s = 1500  # skip remaining configs rather than hang the driver
+    soft_deadline_s = 2100  # skip remaining configs rather than hang the driver
     detail = {}
-    for n in SIZES:
-        entry = {}
-        for name, fn in (("tiled", measure_tiled), ("fast", measure_fast)):
-            if time.time() - t_start > soft_deadline_s and entry:
-                entry[name] = "skipped: soft deadline"
-                continue
-            try:
-                entry[name] = round(fn(n), 3)
-            except Exception as e:  # keep the bench alive if one path dies
-                entry[name] = f"error: {type(e).__name__}: {e}"[:120]
-        numeric = {k: v for k, v in entry.items() if isinstance(v, float)}
-        best = min(numeric.values()) if numeric else None
-        detail[str(n)] = {
-            **entry,
-            "best_ms_per_step": best,
-            "baseline_ms": BASELINE_MS[n],
-            "particle_steps_per_sec": round(n / best * 1e3) if best else 0,
-        }
-    ms_4m = detail[str(4_194_304)]["best_ms_per_step"]
+    order = [4_194_304, 1_048_576, 100_000, 256_000, 512_000, 756_000,
+             2_000_000, 3_000_000]  # headline sizes first
+    eng_4m = None
+    for n in order:
+        if time.time() - t_start > soft_deadline_s and n in detail:
+            continue
+        try:
+            ms, defer_pct, eng = measure_tiled(n)
+            detail[str(n)] = {
+                "ms_per_step": round(ms, 3),
+                "baseline_ms": BASELINE_MS[n],
+                "vs_baseline": round(BASELINE_MS[n] / ms, 3),
+                "deferral_pct_per_step": round(defer_pct, 3),
+                "particle_steps_per_sec": round(n / ms * 1e3),
+            }
+            if n == 4_194_304:
+                eng_4m = eng
+            else:
+                del eng
+        except Exception as e:
+            detail[str(n)] = {"error": f"{type(e).__name__}: {e}"[:160]}
+    if eng_4m is not None:
+        try:
+            detail["render_4m_ms"] = round(measure_render(eng_4m), 1)
+        except Exception as e:
+            detail["render_4m_ms"] = f"error: {type(e).__name__}"[:80]
+        del eng_4m
+    if time.time() - t_start < soft_deadline_s:
+        try:
+            detail["substeps2_4m_ms"] = round(measure_substeps2(), 3)
+        except Exception as e:
+            detail["substeps2_4m_ms"] = f"error: {type(e).__name__}"[:80]
+
+    ms_4m = detail.get(str(4_194_304), {}).get("ms_per_step")
     out = {
         "metric": "frame_time_ms_at_4M_particles",
-        "value": round(ms_4m, 3) if ms_4m else None,
+        "value": ms_4m,
         "unit": "ms/step",
-        "vs_baseline": round(BASELINE_MS[4_194_304] / ms_4m, 3) if ms_4m else None,
+        "vs_baseline": (round(BASELINE_MS[4_194_304] / ms_4m, 3)
+                        if ms_4m else None),
         "detail": detail,
         "device": str(jax.devices()[0]),
     }

@@ -74,7 +74,10 @@ class SimConfig:
     #   rounds; no global sort. TPU-native fast path.
     pipeline: str = "sorted"
     # key/value sort backend for the sorted pipeline + Morton resort:
-    # "lax" = jax.lax.sort, "radix" = Pallas blockwise radix (ops/radix_sort.py)
+    # "lax" = jax.lax.sort (production).  "radix" = Pallas blockwise radix
+    # (ops/radix_sort.py) — RETIRED to cross-check status: correct and
+    # stable but ~330 ms @1M, every stage XLA-random-access-bound
+    # (DESIGN.md §9); kept for validating lax.sort, never for speed.
     sort_impl: str = "lax"
     # fast solver: pack per-entry corrections as 2x bf16 in the aggregation
     # sort (~35% faster aggregation, ~0.4% correction rounding). False for
@@ -113,12 +116,60 @@ class SimConfig:
     # buffer (exact multi-tile jumps, defers on overflow), "auto" = pallas
     # on TPU
     tiled_relocate: str = "auto"
+    # pull-relocate hysteresis: a particle relocates only once it sits at
+    # least delta past its storage tile's boundary (delta in tile-edge
+    # fractions; -1 = auto).  Boundary jitter ("dancers") otherwise
+    # re-crosses every step and dominates both mover traffic and the
+    # deferral metric.  Pair-set correctness is PROVABLE while
+    # 2*delta_world + 2*r_max <= tile_edge (every true partner of a
+    # delta-stale particle is still inside its 3x3 storage window); auto
+    # picks min(0.25, 0.9*max_safe).  The exact claim relocate and the
+    # periodic sweep still restore storage == home exactly.
+    tiled_hysteresis: float = -1.0
+    # pull-relocate passes per step.  Matching is one-shot within a pass:
+    # an arrival cannot take a slot vacated by a mover LEAVING the same
+    # full tile this step (the plan sees pre-departure occupancy), which
+    # is the dominant deferral mechanism at mid-size geometries once
+    # matching contention is solved (greedy).  A second pass re-matches
+    # against post-departure occupancy (and doubles multi-hop convergence).
+    # Only the final pass's deferrals count toward overflow_count — a
+    # mover placed by pass 2 was never truly deferred.
+    tiled_relocate_passes: int = 1
+    # tiled narrow phase: "sweep" = production 3x3 Jacobi pair sweep
+    # (fused Pallas band kernel), "gs" = reference-parity 4-color
+    # Gauss-Seidel on tiles-as-cells (ops/gs_tiled.py, ops/gs_pallas.py;
+    # bit-matches the scalar model — pair with tile_multiplier=2.2 and
+    # tiled_relocate="jnp")
+    tiled_solver: str = "sweep"
     # fuse Verlet integration into the Pallas collide kernel (one band
     # read/write per substep instead of a separate XLA integrate pass)
     tiled_fuse_integrate: bool = True
+    # pull-relocate slot matching:
+    #   "flip"   — free slot k pulls the neighbor's slot cap-1-k mover:
+    #              one chance/mover/step, cheapest.
+    #   "flip2"  — flip chance + direct-slot chance with claimed
+    #              bookkeeping: ~2x flip's plan selects, several-fold
+    #              lower contention deferral.
+    #   "greedy" — exact sequential matching of every free slot against
+    #              every unclaimed mover (8*cap^2 ops/tile): near-zero
+    #              matching deferral; measured the best 4M config
+    #              (mult 3.3 / cap 6: 8.3 ms, 0.001%/step).
+    #   "auto"   — greedy on grids <= 800k tiles with cap <= 8 (extra
+    #              ops are noise there), flip2 otherwise.
+    tiled_match: str = "auto"
     # largest radius the tiling must accommodate; None -> initial_radius
     # (set to spawn_radius_max when interactive spawning is used)
     tile_max_radius: float | None = None
+    # spawn handling when a spawned radius exceeds the tile geometry:
+    # "bigs" = big-particle overlay (ops/bigs.py: tile grid unchanged,
+    # oversized particles in a dense side array coupled via gather
+    # windows — the production answer; re-tiling a 1M+ scene for
+    # radius-3 spawns inflates the auto cap past 40, uncompilable),
+    # "retile" = reference-faithful full re-tile (grid.rs:265-291
+    # analog; fine at small N), "auto" = bigs.
+    tiled_spawn: str = "auto"
+    # overlay capacity (static shape; ~20 reference spawn bursts)
+    big_capacity: int = 2048
 
     # --- multi-chip (net-new; BASELINE.json config 5) ---
     mesh_axis: str = "shards"
@@ -130,6 +181,11 @@ class SimConfig:
         assert self.solver in ("colored", "fast", "jacobi")
         assert self.pipeline in ("sorted", "bucket", "tiled")
         assert self.sort_impl in ("lax", "radix")
+        assert self.tiled_match in ("flip", "flip2", "greedy", "auto")
+        assert self.tiled_relocate_passes >= 1
+        assert self.tiled_spawn in ("bigs", "retile", "auto")
+        assert self.big_capacity >= 1
+        assert self.tiled_solver in ("sweep", "gs")
         assert self.world_shape in ("box", "circle")
         assert self.max_cells_per_object == 4, "2D: home + 3 phantom cells"
 
@@ -170,6 +226,18 @@ class SimConfig:
     def cell_size(self, max_radius: float) -> float:
         """Dynamic cell size given the current largest radius (grid.rs:159-161)."""
         return self.cell_size_multiplier * max_radius
+
+    @property
+    def hysteresis_delta(self) -> float:
+        """Resolved pull-relocate hysteresis in WORLD units (see
+        tiled_hysteresis).  0 when the geometry leaves no safe margin."""
+        t = self.tile_multiplier * self.tile_max_radius_effective
+        d_max = (t - 2.0 * self.tile_max_radius_effective) / 2.0
+        if self.tiled_hysteresis >= 0.0:
+            d = self.tiled_hysteresis * t
+        else:
+            d = min(0.25 * t, 0.9 * d_max)
+        return max(0.0, min(d, 0.95 * d_max))
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -59,6 +59,7 @@ class TiledEngine:
             self.config = config = config.replace(
                 tile_cap=int(initial_state.dims[0]))
         self.state = initial_state
+        self.big = None  # ops/bigs.py overlay, created on oversized spawn
         self._next_pid = int(self.state.num_active)
         self._steps_done = 0
         self._build_compiled()
@@ -102,6 +103,24 @@ class TiledEngine:
                 lambda s, _: (tiled.tiled_step_fn(s, p, config), None),
                 state, None, length=self.CHUNK)[0]
         self._chunk = jax.jit(_chunk, donate_argnums=0)
+        if self.big is not None:
+            self._build_hybrid()
+
+    def _build_hybrid(self):
+        """Compiled step/chunk over (tiles, bigs) — built when the first
+        oversized spawn creates the overlay (ops/bigs.py)."""
+        from gpu_physics_engine_tpu.ops import bigs as bigs_ops
+        config = self.config
+
+        self._hybrid_step = jax.jit(
+            lambda ts, bg, p: bigs_ops.hybrid_step_fn(ts, bg, p, config),
+            donate_argnums=(0, 1))
+
+        def _hchunk(carry, p):
+            def body(c, _):
+                return bigs_ops.hybrid_step_fn(c[0], c[1], p, config), None
+            return jax.lax.scan(body, carry, None, length=self.CHUNK)[0]
+        self._hybrid_chunk = jax.jit(_hchunk, donate_argnums=0)
 
     def _retile(self, tile_max_radius: float):
         """Rebuild the tiling so particles up to ``tile_max_radius`` fit.
@@ -146,7 +165,11 @@ class TiledEngine:
         interval = self._sweep_interval
         if interval and self._steps_done and self._steps_done % interval == 0:
             self.state = self._sweep(self.state)
-        self.state = self._step(self.state, params or self.params())
+        if self.big is not None:
+            self.state, self.big = self._hybrid_step(
+                self.state, self.big, params or self.params())
+        else:
+            self.state = self._step(self.state, params or self.params())
         self._steps_done += 1
         return self.state
 
@@ -170,8 +193,16 @@ class TiledEngine:
                 bound = min(bound, sync_every - done % sync_every
                             if done % sync_every else sync_every)
             if bound >= self.CHUNK:
-                self.state = self._chunk(self.state, p)
+                if self.big is not None:
+                    self.state, self.big = self._hybrid_chunk(
+                        (self.state, self.big), p)
+                else:
+                    self.state = self._chunk(self.state, p)
                 took = self.CHUNK
+            elif self.big is not None:
+                self.state, self.big = self._hybrid_step(
+                    self.state, self.big, p)
+                took = 1
             else:
                 self.state = self._step(self.state, p)
                 took = 1
@@ -200,22 +231,34 @@ class TiledEngine:
         from gpu_physics_engine_tpu.ops.spawn import ring_burst
 
         count = count or self.config.spawn_burst
-        # reference spawn radius is uniform {1, 2, 3} (particle_system.rs:189);
-        # the static tiling must accommodate it.  When the user set
-        # tile_max_radius explicitly it caps the spawn radii (documented
-        # knob); otherwise re-tile at the full spawn radius — the analog
-        # of the reference growing cell_size and rebuilding its grid on
-        # spawn (grid.rs:265-291).  One-time recompile per radius growth.
-        if self.config.tile_max_radius is None:
-            needed = float(min(self.config.spawn_radius_max, 3.0))
-            if self.config.tile_max_radius_effective < needed:
+        # reference spawn radius is uniform {1, 2, 3} (particle_system.rs:189)
+        # while the tiling is usually sized for the small initial radius.
+        # tiled_spawn="retile" reproduces the reference's grid rebuild
+        # (grid.rs:265-291 — fine at small N, uncompilable cap at 1M+);
+        # the default routes oversized spawns to the big-particle overlay
+        # (ops/bigs.py) and keeps the production tile geometry untouched.
+        needed = float(min(self.config.spawn_radius_max, 3.0))
+        if self.config.tile_max_radius is not None:
+            # explicit geometry caps the spawn radii (documented knob)
+            if self.config.tile_max_radius_effective < 1.0:
+                raise ValueError(
+                    "spawning needs SimConfig.tile_max_radius >= spawn "
+                    f"radius (min 1.0); tiling was sized for "
+                    f"{self.config.tile_max_radius_effective}")
+            fits_tiles = True
+        else:
+            fits_tiles = self.config.tile_max_radius_effective >= needed
+            if not fits_tiles and self.config.tiled_spawn == "retile":
                 self._retile(needed)
-        elif self.config.tile_max_radius_effective < 1.0:
+                fits_tiles = True
+        if not fits_tiles and self.config.tiled_solver == "gs":
             raise ValueError(
-                "spawning needs SimConfig.tile_max_radius >= spawn radius "
-                f"(max 3.0); tiling was sized for "
-                f"{self.config.tile_max_radius_effective}")
-        r_max = int(min(3.0, self.config.tile_max_radius_effective))
+                "tiled_solver='gs' requires tile == reference cell "
+                "geometry; size tile_max_radius for the spawn radii or "
+                "use tiled_spawn='retile'")
+        r_max = int(min(3.0, self.config.tile_max_radius_effective)) \
+            if fits_tiles else int(needed)
+        r_max = max(1, r_max)
         kring, self._key = jax.random.split(self._key)
         sx, sy, radii = ring_burst(kring, world_pos[0], world_pos[1],
                                    count, max_spawn_radius=r_max)
@@ -223,19 +266,69 @@ class TiledEngine:
         sy = jnp.clip(sy, 0.0, self.config.world_height - 1e-3)
         ids = jnp.arange(count, dtype=jnp.int32) + self._next_pid
         self._next_pid += count
-        self.state = self._insert(
-            self.state, jnp.stack([sx, sy], -1), radii, ids)
+        pos = jnp.stack([sx, sy], -1)
+        if fits_tiles:
+            self.state = self._insert(self.state, pos, radii, ids)
+        else:
+            small = np.asarray(radii) <= \
+                self.config.tile_max_radius_effective
+            if small.any():
+                self.state = self._insert(
+                    self.state, np.asarray(pos)[small],
+                    np.asarray(radii)[small], np.asarray(ids)[small])
+            self._insert_bigs(np.asarray(pos)[~small],
+                              np.asarray(radii)[~small],
+                              np.asarray(ids)[~small])
         if verbose:
             print(f"Total particles: {self.num_particles()}")
         return self.state
 
+    def _insert_bigs(self, pos: np.ndarray, radii: np.ndarray,
+                     ids: np.ndarray):
+        """Host-side insert into the overlay (spawns are rare and
+        host-driven; no jit needed).  Capacity overruns count as refused
+        inserts in overflow_count, like tile inserts."""
+        from gpu_physics_engine_tpu.ops import bigs as bigs_ops
+        import dataclasses as _dc
+        if self.big is None:
+            self.big = bigs_ops.init_bigs(self.config.big_capacity)
+            self._build_hybrid()
+        free = np.nonzero(np.asarray(self.big.pid) < 0)[0]
+        n = min(len(free), len(ids))
+        slots = jnp.asarray(free[:n], jnp.int32)
+        self.big = _dc.replace(
+            self.big,
+            x=self.big.x.at[slots].set(pos[:n, 0]),
+            y=self.big.y.at[slots].set(pos[:n, 1]),
+            px=self.big.px.at[slots].set(pos[:n, 0]),
+            py=self.big.py.at[slots].set(pos[:n, 1]),
+            radius=self.big.radius.at[slots].set(radii[:n]),
+            pid=self.big.pid.at[slots].set(ids[:n]),
+            num_active=self.big.num_active + jnp.int32(n))
+        if n < len(ids):
+            self.state = _dc.replace(
+                self.state, overflow_count=self.state.overflow_count
+                + jnp.int32(len(ids) - n))
+
     # ---- downloads ----
 
     def num_particles(self) -> int:
-        return int(self.state.num_active)
+        n = int(self.state.num_active)
+        if self.big is not None:
+            n += int(self.big.num_active)
+        return n
 
     def _export(self):
-        return tiled.export_particles(self.state)
+        pid, pos, prev, rad = tiled.export_particles(self.state)
+        if self.big is None or int(self.big.num_active) == 0:
+            return pid, pos, prev, rad
+        from gpu_physics_engine_tpu.ops import bigs as bigs_ops
+        bpid, bpos, bprev, brad = bigs_ops.export_bigs(self.big)
+        pid = np.concatenate([pid, bpid])
+        order = np.argsort(pid, kind="stable")
+        return (pid[order], np.concatenate([pos, bpos])[order],
+                np.concatenate([prev, bprev])[order],
+                np.concatenate([rad, brad])[order])
 
     def positions(self) -> np.ndarray:
         return self._export()[1]
@@ -260,7 +353,30 @@ class TiledEngine:
         """On-chip velocity-colormap frame -> host u8[H, W, 3].
 
         Downloads only the finished image (2.7 MB at 1280x720) instead of
-        N x 4 particle arrays — the production display path at 1M+."""
-        from gpu_physics_engine_tpu.render.device import render_tiles_device
-        return render_tiles_device(self.state, self.config, rect=rect,
-                                   width=width, height=height)
+        N x 4 particle arrays — the production display path at 1M+.
+        Overlay bigs (ops/bigs.py) are exact-splatted on the host over
+        the device frame: they are few (<= big_capacity) and large, so
+        the tile-center quantization of the device path would distort
+        them visibly."""
+        from gpu_physics_engine_tpu.render.device import (
+            autofit_rect, render_tiles_device)
+        if rect is None:
+            rect = autofit_rect(self.config, width, height)
+        frame = render_tiles_device(self.state, self.config, rect=rect,
+                                    width=width, height=height)
+        if self.big is not None and int(self.big.num_active):
+            from gpu_physics_engine_tpu.ops import bigs as bigs_ops
+            from gpu_physics_engine_tpu.render import colormap, rasterizer
+            _, bpos, bprev, brad = bigs_ops.export_bigs(self.big)
+            x0, y0, x1, y1 = rect
+            sx = (bpos[:, 0] - x0) * width / (x1 - x0)
+            sy = (y1 - bpos[:, 1]) * height / (y1 - y0)  # world y-up
+            sr = brad * width / (x1 - x0)
+            rgb = colormap.velocity_colors(bpos - bprev)
+            # order="C": device downloads can arrive non-C-contiguous
+            # (seen on the TPU tunnel) and astype/div preserve ordering,
+            # which the native splat rejects
+            f32 = np.asarray(frame, dtype=np.float32, order="C") / 255.0
+            rasterizer.splat(f32, sx, sy, sr, rgb)
+            frame = (np.clip(f32, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        return frame

@@ -168,13 +168,20 @@ def occupants_from_buckets(buckets: Buckets, config: SimConfig) -> OccupantTable
 # Solvers
 # ---------------------------------------------------------------------------
 
-def _pair_correction(xi, yi, ri, xj, yj, rj, stiffness):
+def _pair_correction(xi, yi, ri, xj, yj, rj, stiffness, one=None):
     """Positional correction of one (i, j) pair (collision_solver.wgsl:91-111).
 
-    Returns (dx_i, dy_i, dx_j, dy_j, colliding)."""
+    Returns (dx_i, dy_i, dx_j, dy_j, colliding).  ``one`` is an optional
+    TRACED 1.0 (see ops/gs_tiled._noc): XLA contracts mul+add chains into
+    fused multiply-adds, which is 1 ulp off the scalar golden model on
+    ~1% of pairs; multiplying the addends by a traced 1.0 keeps any
+    contraction exact.  Callers without a bit-parity claim may omit it
+    (the constant is folded away)."""
+    if one is None:
+        one = jnp.float32(1.0)
     dx = xi - xj
     dy = yi - yj
-    dist = jnp.sqrt(dx * dx + dy * dy)
+    dist = jnp.sqrt(dx * dx * one + dy * dy * one)
     rsum = ri + rj
     colliding = (rsum * rsum > dist * dist) & (dist > MIN_DISTANCE)
     safe = jnp.maximum(dist, MIN_DISTANCE)
@@ -184,7 +191,8 @@ def _pair_correction(xi, yi, ri, xj, yj, rj, stiffness):
     # inverse-mass split: inv_m = 1/r → weight_i = rj/(ri+rj)
     wi = rj / jnp.maximum(rsum, MIN_DISTANCE)
     wj = ri / jnp.maximum(rsum, MIN_DISTANCE)
-    return cx * wi, cy * wi, cx * wj, cy * wj, colliding
+    return (cx * wi * one, cy * wi * one,
+            cx * wj * one, cy * wj * one, colliding)
 
 
 def solve_colored(x, y, radius, table: OccupantTable, stiffness: float,
@@ -204,6 +212,11 @@ def solve_colored(x, y, radius, table: OccupantTable, stiffness: float,
     # distinct out-of-bounds destinations for masked rows: scatter stays
     # unique_indices (non-unique scatters serialize on TPU)
     oob = cap + jnp.arange(rows, dtype=jnp.int32)
+    # traced 1.0: fma-contraction guard for the bit-parity oracle
+    # (derived from the traced positions — stiffness is usually a
+    # compile-time constant and would fold)
+    one = jnp.where(jnp.isfinite(x.reshape(-1)[0]),
+                    jnp.float32(1.0), jnp.float32(2.0))
 
     for c in range(1, num_colors + 1):
         sel = table.active & (table.color == c)
@@ -215,7 +228,8 @@ def solve_colored(x, y, radius, table: OccupantTable, stiffness: float,
         for i in range(K - 1):
             for j in range(i + 1, K):
                 dxi, dyi, dxj, dyj, hit = _pair_correction(
-                    lx[i], ly[i], lr[i], lx[j], ly[j], lr[j], stiffness)
+                    lx[i], ly[i], lr[i], lx[j], ly[j], lr[j], stiffness,
+                    one=one)
                 apply = hit & svalid[i] & svalid[j]
                 lx[i] = jnp.where(apply, lx[i] + dxi, lx[i])
                 ly[i] = jnp.where(apply, ly[i] + dyi, ly[i])

@@ -20,6 +20,14 @@ into range).  Stability across passes gives the same equal-key order as
 the reference's sort — ascending original index.
 
 Runs compiled on TPU; everywhere else falls back to interpret mode (tests).
+
+STATUS (settled round 2, DESIGN.md §9): RETIRED to cross-check duty.
+Hardware-verified correct + stable but 330 ms @1M — every stage is
+XLA-random-access-bound and the rank kernel's sublane-axis log-scan runs
+at ~6% VPU efficiency.  `lax.sort` is the production sort; the real
+production answer is the tiled pipeline, which needs no per-frame sort.
+This module remains as an independent implementation for validating
+`lax.sort`-based paths (tests/test_radix_sort.py).
 """
 
 from __future__ import annotations

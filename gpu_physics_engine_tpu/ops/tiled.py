@@ -510,13 +510,65 @@ def insert_particles(state: TileState, config: SimConfig, positions, radii,
 # full step
 # ---------------------------------------------------------------------------
 
+def _relocate_passes(relocate_fn, state: TileState,
+                     config: SimConfig) -> TileState:
+    """Run relocate_fn ``tiled_relocate_passes`` times.  Matching is
+    one-shot within a pass, so an arrival cannot take a slot vacated by a
+    mover leaving the same full tile this step; a second pass re-matches
+    against post-departure occupancy (SimConfig.tiled_relocate_passes).
+    Only the FINAL pass's deferrals accumulate into overflow_count — a
+    mover placed by a later pass was never truly deferred."""
+    for p in range(max(1, config.tiled_relocate_passes)):
+        oc = state.overflow_count
+        state = relocate_fn(state, config)
+        if p < config.tiled_relocate_passes - 1:
+            state = dataclasses.replace(state, overflow_count=oc)
+    return state
+
+
 def tiled_step_fn(state: TileState, params: StepParams,
                   config: SimConfig) -> TileState:
     """Frame order mirrors State::update (state.rs:115-134): relocate
-    (the grid-maintenance analog) -> solve -> integrate."""
+    (the grid-maintenance analog) -> solve -> integrate.
+
+    tiled_solver="gs" selects the Gauss-Seidel PARITY solver on tile
+    storage (ops/gs_tiled.py / ops/gs_pallas.py): exact reference
+    semantics (4-color ordered sweeps, frozen membership) at band-kernel
+    speed.  Drive it with tile_multiplier=2.2 (tiles = reference cells).
+    The standard relocate selection applies: hysteresis-band particles
+    remain fully reachable for GS membership (depth <= delta < t - r
+    means a particle can never be an occupant of a cell 2 tiles from its
+    storage), so only genuine deferrals (full target tiles, counted in
+    overflow_count) deviate from exact reference membership; use
+    tiled_relocate="jnp" (exact claim) for bit-parity runs — the
+    hardware path amortizes the claim cost through the periodic sweep."""
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = config.tiled_collide == "pallas" or (
         config.tiled_collide == "auto" and on_tpu)
+    if config.tiled_solver == "gs":
+        if use_pallas:
+            from gpu_physics_engine_tpu.ops.gs_pallas import gs_solve_pallas
+            gs_fn = gs_solve_pallas
+        else:
+            from gpu_physics_engine_tpu.ops.gs_tiled import gs_solve
+            gs_fn = gs_solve
+        gs_pallas_reloc = config.tiled_relocate == "pallas" or (
+            config.tiled_relocate == "auto" and on_tpu)
+        if gs_pallas_reloc:
+            from gpu_physics_engine_tpu.ops.tiled_pallas import (
+                relocate_pallas)
+            gs_reloc = relocate_pallas
+        else:
+            gs_reloc = relocate
+        with jax.named_scope("relocate"):
+            state = _relocate_passes(gs_reloc, state, config)
+        for _ in range(config.substeps):
+            with jax.named_scope("solve_collisions"):
+                state = gs_fn(state, config)
+            with jax.named_scope("particle_integration"):
+                state = integrate(state, params, config,
+                                  dt_scale=1.0 / config.substeps)
+        return state
     if use_pallas:
         from gpu_physics_engine_tpu.ops.tiled_pallas import collide_pallas
         collide_fn = collide_pallas
@@ -531,7 +583,7 @@ def tiled_step_fn(state: TileState, params: StepParams,
         relocate_fn = relocate
 
     with jax.named_scope("relocate"):
-        state = relocate_fn(state, config)
+        state = _relocate_passes(relocate_fn, state, config)
     if use_pallas and config.tiled_fuse_integrate:
         from gpu_physics_engine_tpu.ops.tiled_pallas import (
             collide_integrate_pallas)

@@ -369,13 +369,45 @@ def _home_tile(x, y, *, t: float, gTY: int, gTX: int):
     return wy, wx
 
 
+def _step_offsets(x, y, sty, stx, *, t: float, delta: float,
+                  gTY: int, gTX: int):
+    """Per-axis one-hop offsets (-1/0/+1) toward home with hysteresis:
+    a particle stored in global tile (sty, stx) — spanning
+    [(s-1)*t, s*t) per axis — moves only once it is at least ``delta``
+    world units past the boundary.  delta=0 reproduces the exact
+    floor(pos/t) home logic; SimConfig.hysteresis_delta guarantees the
+    3x3 pair windows stay complete for any in-band particle.  Targets
+    never step onto the border ring."""
+    tf = jnp.float32(t)
+    d = jnp.float32(delta)
+    dty = (y >= sty.astype(jnp.float32) * tf + d).astype(jnp.int32) - \
+          (y < (sty - 1).astype(jnp.float32) * tf - d).astype(jnp.int32)
+    dtx = (x >= stx.astype(jnp.float32) * tf + d).astype(jnp.int32) - \
+          (x < (stx - 1).astype(jnp.float32) * tf - d).astype(jnp.int32)
+    ty_t = sty + dty
+    tx_t = stx + dtx
+    dty = jnp.where((ty_t < 1) | (ty_t > gTY - 2), 0, dty)
+    dtx = jnp.where((tx_t < 1) | (tx_t > gTX - 2), 0, dtx)
+    return dty, dtx
+
+
 def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
                           plan_ref, *, cap: int, t: float, gTY: int,
-                          gTX: int, local_rows: int):
-    """plan[k] = index into _NEIGHBORS of the in-mover accepted for my
-    free slot k, or -1.  Step targets (one hop toward home, so always
-    within 3x3) are computed in-kernel from positions — no materialized
-    target maps in HBM.
+                          gTX: int, local_rows: int, match: str = "flip",
+                          delta: float = 0.0):
+    """plan[k] = code of the in-mover accepted for my free slot k, or -1.
+    match="flip": code = _NEIGHBORS index, source slot implied cap-1-k.
+    match="greedy": code = e_idx*cap + s (explicit source slot).
+    Step targets (one hop toward home, so always within 3x3) are computed
+    in-kernel from positions — no materialized target maps in HBM.
+
+    Flip gives every mover ONE chance per step (my slot cap-1-s must be
+    free): cheap, and fine at small tiles where two movers rarely cross
+    the same edge in the same step.  At coarse tiles, simultaneous
+    crossers contend for the single matching slot and deferral explodes
+    (measured 2-10%/step on the mid-size curve configs); greedy matches
+    every free slot against every still-unclaimed mover in a fixed
+    priority order — exact bipartite greedy, 8*cap^2 unrolled ops.
 
     r0 (SMEM scalar) is the slab's first global tile row: on a sharded
     slab my local row l is global row r0+l; gTY/gTX are the GLOBAL grid
@@ -392,7 +424,18 @@ def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
     my_ty = my_row + r0[0]                            # global
     my_tx = jax.lax.broadcasted_iota(jnp.int32, (1, band, xm.shape[2]), 2)
 
+    def claim_mask(x_e, y_e, p_e, valid_e, ey, ex, s):
+        # candidate's hysteresis one-hop step target == me?  it is stored
+        # at (my_ty+ey, my_tx+ex), so it hops to me iff its per-axis
+        # offsets equal (-ey, -ex)
+        dty_c, dtx_c = _step_offsets(
+            x_e[s:s + 1], y_e[s:s + 1], my_ty + ey, my_tx + ex,
+            t=t, delta=delta, gTY=gTY, gTX=gTX)
+        return (valid_e & (p_e[s:s + 1] >= 0)
+                & (dty_c == -ey) & (dtx_c == -ex))
+
     chosen = [jnp.full_like(my_ty, -1) for _ in range(cap)]
+    views = []
     for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
         # hoist the shifted views out of the slot loop (one roll per field)
         x_e = _view(x_rows, ey, ex)
@@ -404,21 +447,56 @@ def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
         # DUPLICATES the particle (found by the conservation test)
         valid_e = ((my_row + ey >= 0) & (my_row + ey <= local_rows - 1)
                    & (my_tx + ex >= 0) & (my_tx + ex <= gTX - 1))
+        views.append((x_e, y_e, p_e, valid_e, ey, ex))
+
+    if match == "flip":
+        for e_idx, (x_e, y_e, p_e, valid_e, ey, ex) in enumerate(views):
+            for k in range(cap):
+                # flipped-slot matching: tiles fill slots from 0 up (the
+                # apply kernel recompacts), so movers sit LOW and free
+                # slots HIGH; the flip aligns the two distributions
+                claims = claim_mask(x_e, y_e, p_e, valid_e, ey, ex,
+                                    cap - 1 - k)
+                chosen[k] = jnp.where(claims & (chosen[k] < 0),
+                                      e_idx, chosen[k])
+    elif match == "flip2":
+        # two chances per mover: the flip slot, then the direct slot —
+        # claimed bookkeeping keeps pulls unique.  Costs ~2x flip's plan
+        # selects (claim masks are computed once per (e, s) either way)
+        # and cuts the contention deferral several-fold.  Plan code:
+        # e_idx + 8*rule, source slot = cap-1-k (rule 0) or k (rule 1).
+        claims_es = [[claim_mask(*views[e], s) for s in range(cap)]
+                     for e in range(8)]
+        claimed = [[jnp.zeros_like(claims_es[0][0]) for _ in range(cap)]
+                   for _ in range(8)]
+        pid_mid_2 = p_rows[1]
         for k in range(cap):
-            # flipped-slot matching: my slot k is claimed by the neighbor's
-            # slot cap-1-k occupant.  Tiles fill slots from 0 up, so movers
-            # sit in LOW slots while free slots are HIGH — same-index
-            # matching would defer almost every mover in exactly the
-            # common case; the flip aligns the two distributions.
-            s = cap - 1 - k
-            wy, wx = _home_tile(x_e[s:s + 1], y_e[s:s + 1],
-                                t=t, gTY=gTY, gTX=gTX)
-            # candidate's one-hop step target == me?  its row is my_ty+ey,
-            # so it hops to me iff clip(home - row, -1, 1) == -ey (same x)
-            claims = (valid_e & (p_e[s:s + 1] >= 0)
-                      & (jnp.clip(wy - (my_ty + ey), -1, 1) == -ey)
-                      & (jnp.clip(wx - (my_tx + ex), -1, 1) == -ex))
-            chosen[k] = jnp.where(claims & (chosen[k] < 0), e_idx, chosen[k])
+            free_k = pid_mid_2[k:k + 1] < 0
+            for rule, s in ((0, cap - 1 - k), (1, k)):
+                for e in range(8):
+                    take = (free_k & claims_es[e][s] & ~claimed[e][s]
+                            & (chosen[k] < 0))
+                    chosen[k] = jnp.where(take, e + 8 * rule, chosen[k])
+                    claimed[e][s] = claimed[e][s] | take
+    else:  # greedy
+        claims_es = [[claim_mask(*views[e], s) for s in range(cap)]
+                     for e in range(8)]
+        claimed = [[jnp.zeros_like(claims_es[0][0]) for _ in range(cap)]
+                   for _ in range(8)]
+        pid_mid_g = p_rows[1]
+        for k in range(cap):
+            # only FREE slots claim — an occupied slot's chosen entry is
+            # masked to -1 below, and letting it mark movers `claimed`
+            # would starve the real free slots (measured: 70%/step
+            # deferral at high occupancy)
+            free_k = pid_mid_g[k:k + 1] < 0
+            for e in range(8):
+                for s in range(cap):
+                    take = (free_k & claims_es[e][s] & ~claimed[e][s]
+                            & (chosen[k] < 0))
+                    chosen[k] = jnp.where(take, e * cap + s, chosen[k])
+                    claimed[e][s] = claimed[e][s] | take
+
     pid_mid = p_rows[1]
     free = pid_mid < 0
     # only globally-interior REAL tiles may pull (step targets are always
@@ -440,7 +518,8 @@ def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
                            plu, plm, pld,
                            ox, oy, opx, opy, orad, opid, odefer,
                            *, cap: int, t: float, gTY: int, gTX: int,
-                           local_rows: int):
+                           local_rows: int, match: str = "flip",
+                           delta: float = 0.0):
     """Apply the plan: pull accepted in-movers, vacate accepted leavers,
     count deferred movers (wanted to move, no slot granted).  A slot never
     both receives and loses a particle in one step (plans cover only
@@ -468,13 +547,13 @@ def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
 
     plan_mid = rows["plan"][1]
     # per-slot one-hop target offsets of my occupants (from mid positions,
-    # the same _home_tile expression the plan kernel evaluates)
+    # the same _step_offsets expression the plan kernel evaluates)
     dty, dtx, moving = [], [], []
     for k in range(cap):
-        wy, wx = _home_tile(xm[k:k + 1], ym[k:k + 1],
-                            t=t, gTY=gTY, gTX=gTX)
-        dty.append(jnp.clip(wy - my_ty, -1, 1))
-        dtx.append(jnp.clip(wx - my_tx, -1, 1))
+        oy_k, ox_k = _step_offsets(xm[k:k + 1], ym[k:k + 1], my_ty, my_tx,
+                                   t=t, delta=delta, gTY=gTY, gTX=gTX)
+        dty.append(oy_k)
+        dtx.append(ox_k)
         in_slab = ((my_row + dty[k] >= 0)
                    & (my_row + dty[k] <= local_rows - 1))
         moving.append((pm[k:k + 1] >= 0) & in_slab
@@ -487,18 +566,51 @@ def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
         plan_e = _view(rows["plan"], ey, ex)
         # my index in the priority list of the target at offset (ey, ex)
         me_at_target = _NEIGHBORS.index((-ey, -ex))
-        for k in range(cap):
-            s = cap - 1 - k  # flipped-slot matching (see plan kernel)
-            # leave check: my slot k occupant heading to offset (ey, ex)
-            # was accepted iff the target's plan for slot s names me
-            sel = moving[k] & (dty[k] == ey) & (dtx[k] == ex)
-            accepted[k] = accepted[k] | (
-                sel & (plan_e[s:s + 1] == me_at_target))
-            # pull check: my plan names neighbor e_idx for my slot k; the
-            # in-mover sits in the neighbor's slot s
-            hit = plan_mid[k:k + 1] == e_idx
-            for n in FIELDS:
-                new[n][k] = jnp.where(hit, views[n][s:s + 1], new[n][k])
+        if match == "flip":
+            for k in range(cap):
+                s = cap - 1 - k  # flipped-slot matching (see plan kernel)
+                # leave check: my slot k occupant heading to offset
+                # (ey, ex) was accepted iff the target's plan for slot s
+                # names me
+                sel = moving[k] & (dty[k] == ey) & (dtx[k] == ex)
+                accepted[k] = accepted[k] | (
+                    sel & (plan_e[s:s + 1] == me_at_target))
+                # pull check: my plan names neighbor e_idx for my slot k;
+                # the in-mover sits in the neighbor's slot s
+                hit = plan_mid[k:k + 1] == e_idx
+                for n in FIELDS:
+                    new[n][k] = jnp.where(hit, views[n][s:s + 1],
+                                          new[n][k])
+        elif match == "flip2":  # codes: e_idx + 8*rule
+            for k in range(cap):
+                # leave check: my slot k mover accepted under rule 0
+                # (target dest cap-1-k) or rule 1 (target dest k)
+                sel = moving[k] & (dty[k] == ey) & (dtx[k] == ex)
+                acc = ((plan_e[cap - 1 - k:cap - k] == me_at_target)
+                       | (plan_e[k:k + 1] == me_at_target + 8))
+                accepted[k] = accepted[k] | (sel & acc)
+                # pull check for my dest slot k
+                hit0 = plan_mid[k:k + 1] == e_idx
+                hit1 = plan_mid[k:k + 1] == e_idx + 8
+                s0, s1 = cap - 1 - k, k
+                for n in FIELDS:
+                    v = jnp.where(hit0, views[n][s0:s0 + 1], new[n][k])
+                    new[n][k] = jnp.where(hit1, views[n][s1:s1 + 1], v)
+        else:  # greedy: plan codes are e_idx*cap + source_slot
+            for k in range(cap):
+                # leave check: any dest slot of the target names (me, k)
+                sel = moving[k] & (dty[k] == ey) & (dtx[k] == ex)
+                code = me_at_target * cap + k
+                found = jnp.zeros(shape1, bool)
+                for kd in range(cap):
+                    found = found | (plan_e[kd:kd + 1] == code)
+                accepted[k] = accepted[k] | (sel & found)
+                # pull check: my plan for dest slot k names (e_idx, s)
+                for s in range(cap):
+                    hit = plan_mid[k:k + 1] == e_idx * cap + s
+                    for n in FIELDS:
+                        new[n][k] = jnp.where(hit, views[n][s:s + 1],
+                                              new[n][k])
 
     defer = jnp.zeros(shape1, jnp.int32)
     for k in range(cap):
@@ -552,7 +664,18 @@ def relocate_pallas(state: TileState, config: SimConfig,
     from gpu_physics_engine_tpu.ops.tiled import tile_geometry
 
     cap, TY, TX = state.dims
+    match = config.tiled_match
+    if match == "auto":
+        # greedy collapses the contention deferral that dominates
+        # coarse-tile configs under flip (measured 3-20%/step -> ~0.1%)
+        # for ~0.25-0.8 ms of 8*cap^2 unrolled ops; on big fine-tile
+        # grids flip2 gives most of the deferral fix at ~flip cost.
+        # (cap gate: greedy's kernel grows quadratically — at cap > 8
+        # compile time and op count stop paying off, and high-cap
+        # quality configs defer fine under flip2 anyway)
+        match = "greedy" if (TY * TX <= 800_000 and cap <= 8) else "flip2"
     t = tile_geometry(config)[0]
+    delta = config.hysteresis_delta
     gTY = TY if global_rows is None else global_rows
     gTX = TX
     local_rows = TY
@@ -591,7 +714,7 @@ def relocate_pallas(state: TileState, config: SimConfig,
 
     plan = pl.pallas_call(
         partial(_relocate_plan_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX,
-                local_rows=local_rows),
+                local_rows=local_rows, match=match, delta=delta),
         grid=(nb,),
         in_specs=[smem] + spec3() * 3,
         out_specs=pl.BlockSpec((cap, BAND, TX), mid,
@@ -609,7 +732,7 @@ def relocate_pallas(state: TileState, config: SimConfig,
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         partial(_relocate_apply_kernel, cap=cap, t=t, gTY=gTY, gTX=gTX,
-                local_rows=local_rows),
+                local_rows=local_rows, match=match, delta=delta),
         grid=(nb,),
         in_specs=[smem] + spec3() * 6 + spec3(),
         out_specs=tuple([mid_spec] * 6 + [field_spec]),

@@ -252,11 +252,14 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh):
         if pallas_reloc:
             # pull relocation on the slab: ship the one-hop boundary
             # crossers first, then the bufferless band kernels handle every
-            # in-slab mover (ops/tiled_pallas.py — slab coords via row0)
+            # in-slab mover (ops/tiled_pallas.py — slab coords via row0).
+            # Crosser determination uses the SAME hysteresis step offsets
+            # as the kernels, so ship and in-slab relocation agree.
             from gpu_physics_engine_tpu.ops.tiled_pallas import (
-                relocate_pallas)
-            dty = jnp.clip(ty_want_g - (ty_now_l + row0), -1, 1)
-            dtx = jnp.clip(tx_want - tx_now, -1, 1)
+                _step_offsets, relocate_pallas)
+            dty, dtx = _step_offsets(
+                local.x, local.y, ty_now_l + row0, tx_now,
+                t=t, delta=config.hysteresis_delta, gTY=TYp, gTX=TX)
             go_up = occ & (ty_now_l == 0) & (dty < 0)
             go_dn = occ & (ty_now_l == rows - 1) & (dty > 0)
             local = ship_crossers(go_up, go_dn, tx_now + dtx, local)

@@ -33,10 +33,13 @@ def _load_native():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(
-                ["make", "-s", "-C", _NATIVE_DIR], check=True,
-                capture_output=True)
+        # always run make: its own mtime check makes this a no-op when
+        # fresh, and it rebuilds when rasterizer.cpp changed (a stale
+        # prebuilt .so would silently diverge — same hazard ADVICE.md
+        # flagged for ops/tiled.py's tiler build)
+        subprocess.run(
+            ["make", "-s", "-C", _NATIVE_DIR], check=True,
+            capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

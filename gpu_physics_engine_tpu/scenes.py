@@ -63,15 +63,17 @@ def _scenes() -> Dict[str, Scene]:
                              sort_interval_steps=240, solver="fast", **_WORLD),
             steps=600),
         # config 4: sustained scale + substeps, persistent tiled pipeline
-        # (production geometry from the hardware sweep, PERF.md: 9.8 ms/step
-        # single-substep; substeps=2 doubles the fused solve pass)
+        # (round-2 production geometry: greedy slot matching + hysteresis
+        # let cap drop to 6 — 8.13 ms/step single-substep at 0.003%/step
+        # deferral, PERF.md; substeps=2 doubles the fused solve pass)
         "four_million": Scene(
             name="four_million",
             description="4M sustained, multi-substep collision solve",
             config=SimConfig(max_particles=4_194_304,
                              initial_particles=4_194_304,
                              substeps=2, pipeline="tiled", solver="fast",
-                             tile_cap=8, tile_multiplier=3.3, **_WORLD),
+                             tile_cap=6, tile_multiplier=3.3,
+                             tiled_match="greedy", **_WORLD),
             steps=200),
         # config 5: multi-chip stretch (parallel/tiled_shard.py on a mesh;
         # this entry carries the single-chip-equivalent config — measured

@@ -1,0 +1,152 @@
+"""Tile-storage Gauss-Seidel solver (ops/gs_tiled.py) vs the scalar model.
+
+The scalar golden model (tests/reference_model.py) mirrors the reference
+shaders line by line; gs_solve must reproduce its positions bit-for-bit
+on the same scene — same 4-color schedule, same in-cell ascending-pid
+sweep order, same f32 op order — despite a completely different data
+layout (persistent tiles instead of a sorted pair array).
+"""
+
+import numpy as np
+import jax
+
+import reference_model as model
+from gpu_physics_engine_tpu import SimConfig
+from gpu_physics_engine_tpu.ops import tiled
+from gpu_physics_engine_tpu.ops.gs_tiled import gs_solve
+
+
+def _scene(n, seed, w=32.0, h=16.0, rmax=0.5):
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(0.6, w - 0.6, n),
+                    rng.uniform(0.6, h - 0.6, n)], -1).astype(np.float32)
+    radii = rng.uniform(0.3, rmax, n).astype(np.float32)
+    radii[0] = rmax  # pin max radius = cell sizing
+    return pos, radii
+
+
+def _tile_cfg(n, w=32.0, h=16.0, cap=8, K=8):
+    return SimConfig(max_particles=n, initial_particles=n,
+                     world_width=w, world_height=h,
+                     initial_radius=0.5, pipeline="tiled",
+                     tile_multiplier=2.2, tile_cap=cap, max_occupancy=K,
+                     sort_interval_steps=0, tiled_collide="jnp",
+                     tiled_relocate="jnp")
+
+
+def _gs_positions(cfg, pos, radii):
+    st = tiled.init_tiles(cfg, pos, radii)
+    assert int(st.overflow_count) == 0, "test scene must fit"
+    # gs_solve assumes storage tile == home cell (spilled particles are
+    # invisible to cells on the far side); assert the scene packed clean
+    occ = np.asarray(st.pid) >= 0
+    _, ty, tx = np.nonzero(occ)
+    t = tiled.tile_geometry(cfg)[0]
+    want_ty = (np.asarray(st.y)[occ] // t).astype(int) + 1
+    want_tx = (np.asarray(st.x)[occ] // t).astype(int) + 1
+    assert (ty == want_ty).all() and (tx == want_tx).all(), "spill at init"
+    out = jax.jit(lambda s: gs_solve(s, cfg))(st)
+    pid, p, _, _ = tiled.export_particles(out)
+    order = np.argsort(pid)
+    return p[order], int(out.overflow_count)
+
+
+def _model_positions(pos, radii, cell_size, K=None):
+    cells, objs = model.build_cell_ids(pos, radii, cell_size)
+    sc, so = model.sort_map(cells, objs)
+    return model.solve_colored(pos, radii, sc, so, stiffness=0.6,
+                               max_occupancy=K)
+
+
+def test_gs_tiled_bitmatches_scalar_model():
+    for seed in (0, 1, 2):
+        pos, radii = _scene(220, seed)
+        cfg = _tile_cfg(220)
+        got, overflow = _gs_positions(cfg, pos, radii)
+        want = _model_positions(pos, radii, cell_size=1.1)
+        assert overflow == 0
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_gs_tiled_dense_pack_bitmatches():
+    """A deliberately jammed cluster: multi-occupant cells, chained
+    corrections across colors."""
+    rng = np.random.default_rng(7)
+    n = 60
+    pos = (np.array([8.0, 8.0], np.float32)
+           + rng.normal(0.0, 2.6, (n, 2)).astype(np.float32))
+    pos = np.clip(pos, 0.6, 15.4).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+    cfg = _tile_cfg(n, w=16.0, h=16.0, cap=12, K=6)
+    got, _ = _gs_positions(cfg, pos, radii)
+    want = _model_positions(pos, radii, cell_size=1.1, K=6)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_gs_pallas_bitmatches_model_and_jnp():
+    """The Pallas band-kernel lowering (ops/gs_pallas.py) reproduces the
+    scalar model AND the jnp formulation bit-for-bit (interpret mode)."""
+    from gpu_physics_engine_tpu.ops.gs_pallas import gs_solve_pallas
+
+    pos, radii = _scene(220, 0)
+    cfg = _tile_cfg(220, K=6)
+    st = tiled.init_tiles(cfg, pos, radii)
+    out_p = jax.jit(lambda s: gs_solve_pallas(s, cfg))(st)
+    out_j = jax.jit(lambda s: gs_solve(s, cfg))(st)
+    np.testing.assert_array_equal(np.asarray(out_p.x), np.asarray(out_j.x))
+    np.testing.assert_array_equal(np.asarray(out_p.y), np.asarray(out_j.y))
+    assert int(out_p.overflow_count) == int(out_j.overflow_count)
+
+    pid, p, _, _ = tiled.export_particles(out_p)
+    got = p[np.argsort(pid)]
+    want = _model_positions(pos, radii, cell_size=1.1, K=6)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_gs_engine_matches_array_colored_engine():
+    """The GS tiled engine (tiled_solver='gs') tracks the array engine's
+    colored solver — same reference semantics, different storage — over
+    multiple steps on the same scene."""
+    from gpu_physics_engine_tpu import Engine, SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+
+    rng = np.random.default_rng(3)
+    n = 150
+    w, h = 24.0, 12.0
+    pos = np.stack([rng.uniform(0.6, w - 0.6, n),
+                    rng.uniform(0.6, h - 0.6, n)], -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+
+    tcfg = SimConfig(max_particles=n, initial_particles=n,
+                     world_width=w, world_height=h, initial_radius=0.5,
+                     pipeline="tiled", tiled_solver="gs",
+                     tile_multiplier=2.2, tile_cap=8, max_occupancy=8,
+                     sort_interval_steps=0, tiled_collide="jnp",
+                     tiled_relocate="jnp", gravity=(0.0, -20.0))
+    acfg = tcfg.replace(pipeline="sorted", solver="colored")
+
+    te = TiledEngine.from_arrays(tcfg, pos, radii)
+    ae = Engine.from_arrays(acfg, pos, radii)
+    te.run(8)
+    ae.run(8)
+    got = te.positions()
+    want = ae.positions()
+    # both solvers bit-match the scalar model per call, but the two
+    # INTEGRATORS are separate implementations whose mul+add chains may
+    # contract differently — contact dynamics amplify the ulp seeds over
+    # 8 steps, hence the loose (but still 4-decimal) tolerance
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gs_tiled_occupancy_clamp_matches_model():
+    """Runs longer than K clamp to the K smallest ids on both sides, and
+    the clamped tail is counted in overflow_count."""
+    n = 12  # 12 particles stacked into one cell, K = 4
+    pos = np.tile(np.array([[5.05, 5.05]], np.float32), (n, 1))
+    pos += np.linspace(0, 0.02, n, dtype=np.float32)[:, None]
+    radii = np.full(n, 0.5, np.float32)
+    cfg = _tile_cfg(n, w=16.0, h=16.0, cap=16, K=4)
+    got, overflow = _gs_positions(cfg, pos, radii)
+    want = _model_positions(pos, radii, cell_size=1.1, K=4)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+    assert overflow > 0

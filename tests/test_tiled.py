@@ -129,10 +129,13 @@ def test_spawn_and_attractor():
 
 
 def test_spawn_retiles_when_geometry_too_small():
-    """Default geometry (sized for r=0.5) cannot hold a radius-3 spawn;
-    spawn_at must re-tile (grid.rs:265-291 analog) instead of raising,
-    preserving every pre-spawn particle's position and pid."""
-    cfg = _cfg(initial_particles=64, max_particles=256)  # tile_max_radius=None
+    """tiled_spawn="retile": geometry sized for r=0.5 cannot hold a
+    radius-3 spawn; spawn_at re-tiles (grid.rs:265-291 analog) instead of
+    raising, preserving every pre-spawn particle's position and pid.
+    (The default tiled_spawn routes oversized spawns to the ops/bigs.py
+    overlay instead — see test_spawn_overlay_*.)"""
+    cfg = _cfg(initial_particles=64, max_particles=256,
+               tiled_spawn="retile")  # tile_max_radius=None
     eng = TiledEngine(cfg, seed=5)
     assert eng.config.tile_max_radius_effective == 0.5
     pid0, pos0, prev0, rad0 = tiled.export_particles(eng.state)
@@ -232,7 +235,9 @@ def _teleport(st, dx=0.0, dy=0.0):
 
 def test_pull_relocate_matches_claim_relocate_one_hop():
     from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
-    cfg = _cfg()
+    # exact-agreement test; cap 8 + flip keeps the interpret-mode kernel
+    # compile tractable (matching mode is irrelevant to the assertion)
+    cfg = _cfg(tiled_hysteresis=0.0, tile_cap=8, tiled_match="flip")
     t, TY, TX = tiled.tile_geometry(cfg)
     rng = np.random.default_rng(3)
     n = 64
@@ -263,9 +268,38 @@ def test_pull_relocate_matches_claim_relocate_one_hop():
     np.testing.assert_array_equal(tx, want_tx)
 
 
+def test_relocate_hysteresis_keeps_boundary_dancers_in_place():
+    """A particle just past a tile boundary (within the hysteresis band)
+    keeps its storage slot — boundary jitter must not generate mover
+    traffic — while a deeper particle relocates.  Pair correctness for
+    band particles is guaranteed by hysteresis_delta's safety bound."""
+    from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+    cfg = _cfg(initial_particles=2, tile_cap=4)
+    t, TY, TX = tiled.tile_geometry(cfg)
+    delta = cfg.hysteresis_delta
+    assert 0.0 < delta <= (t - 2 * 0.5) / 2.0  # the provable-safe bound
+    # both start mid-tile (2,2); one nudged just past the +x boundary,
+    # one pushed a full tile
+    pos = np.array([[1.5 * t, 1.5 * t], [1.5 * t, 2.5 * t]], np.float32)
+    st = tiled.init_tiles(cfg, pos, np.full(2, 0.4, np.float32))
+    st = tiled.TileState(
+        x=st.x + jnp.where(st.pid == 0, 0.5 * t + 0.5 * delta,
+                           jnp.where(st.pid == 1, t, 0.0)),
+        y=st.y, px=st.px, py=st.py, radius=st.radius, pid=st.pid,
+        num_active=st.num_active, overflow_count=st.overflow_count)
+    out = relocate_pallas(st, cfg)
+    occ = np.asarray(out.pid) >= 0
+    k, ty, tx = np.nonzero(occ)
+    got = {int(np.asarray(out.pid)[a, b, c]): (int(b), int(c))
+           for a, b, c in zip(k, ty, tx)}
+    assert got[0] == (2, 2)   # dancer stayed (within the band)
+    assert got[1] == (3, 3)   # deep mover relocated
+    assert int(out.overflow_count) == 0
+
+
 def test_pull_relocate_multi_hop_converges():
     from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
-    cfg = _cfg(initial_particles=1)
+    cfg = _cfg(initial_particles=1, tile_cap=8, tiled_match="flip")
     t, TY, TX = tiled.tile_geometry(cfg)
     st = tiled.init_tiles(cfg, np.array([[0.5 * t, 0.5 * t]], np.float32),
                           np.array([0.5], np.float32))
@@ -281,7 +315,7 @@ def test_pull_relocate_multi_hop_converges():
 
 def test_pull_relocate_full_target_defers_and_retries():
     from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
-    cfg = _cfg(tile_cap=4, initial_particles=6)
+    cfg = _cfg(tile_cap=4, initial_particles=6, tiled_hysteresis=0.0)
     t, TY, TX = tiled.tile_geometry(cfg)
     # 4 particles fill tile (1,1); 2 in tile (1,2) want to move into (1,1)
     fill = [[0.2 * t + 0.1 * i, 0.5 * t] for i in range(4)]
@@ -390,12 +424,111 @@ def test_pull_relocate_deferral_settles_in_dense_scene():
     assert deltas[-1] <= max(deltas[0], 10)  # no runaway growth
 
 
+def test_greedy_matching_beats_flip_under_contention():
+    """Two movers from different neighbors, both in slot 0, target the
+    same empty tile: flip matching gives them ONE shared matching slot
+    (cap-1), so one defers; greedy matches both to distinct free slots in
+    a single pass.  This contention is why coarse-tile curve configs
+    measured 2-10%/step deferral under flip."""
+    from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+    t = 2.2
+    # movers in tiles (2,1) and (2,3), both homed to empty tile (2,2)
+    pos = np.array([[0.5 * t, 1.5 * t], [2.5 * t, 1.5 * t]], np.float32)
+    base = _cfg(tile_cap=4, initial_particles=2, tiled_hysteresis=0.0)
+    st = tiled.init_tiles(base, pos, np.full(2, 0.01, np.float32))
+    st = tiled.TileState(
+        x=st.x + jnp.where(st.pid == 0, t, jnp.where(st.pid == 1, -t, 0.0)),
+        y=st.y, px=st.px, py=st.py, radius=st.radius, pid=st.pid,
+        num_active=st.num_active, overflow_count=st.overflow_count)
+
+    flip = relocate_pallas(st, base.replace(tiled_match="flip"))
+    greedy = relocate_pallas(st, base.replace(tiled_match="greedy"))
+    assert int(flip.overflow_count) == 1    # one mover lost the slot race
+    assert int(greedy.overflow_count) == 0  # both placed
+    occ = np.asarray(greedy.pid) >= 0
+    k, ty, tx = np.nonzero(occ)
+    assert occ.sum() == 2
+    np.testing.assert_array_equal(ty, [2, 2])
+    np.testing.assert_array_equal(tx, [2, 2])
+
+
+def test_greedy_matching_with_occupied_target_slots():
+    """Regression: occupied slots must not claim movers (their plan entry
+    is masked off, so a claim by them starved the real free slots —
+    70%/step deferral at high occupancy on hardware)."""
+    from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+    t = 2.2
+    # tile (2,2) pre-filled with 2 residents; movers from (2,1) and (2,3)
+    pos = np.array([[1.4 * t, 1.4 * t], [1.6 * t, 1.6 * t],
+                    [0.5 * t, 1.5 * t], [2.5 * t, 1.5 * t]], np.float32)
+    cfg = _cfg(tile_cap=4, initial_particles=4, tiled_match="greedy",
+               tiled_hysteresis=0.0)
+    st = tiled.init_tiles(cfg, pos, np.full(4, 0.01, np.float32))
+    st = tiled.TileState(
+        x=st.x + jnp.where(st.pid == 2, t,
+                           jnp.where(st.pid == 3, -t, 0.0)),
+        y=st.y, px=st.px, py=st.py, radius=st.radius, pid=st.pid,
+        num_active=st.num_active, overflow_count=st.overflow_count)
+    out = relocate_pallas(st, cfg)
+    assert int(out.overflow_count) == 0  # both movers placed
+    occ = np.asarray(out.pid) >= 0
+    k, ty, tx = np.nonzero(occ)
+    assert occ.sum() == 4
+    np.testing.assert_array_equal(sorted(ty), [2, 2, 2, 2])
+    np.testing.assert_array_equal(sorted(tx), [2, 2, 2, 2])
+
+
+def test_second_relocate_pass_takes_same_step_vacated_slots():
+    """Leaver-blocked deferral: matching is one-shot within a pass, so an
+    arrival cannot take a slot vacated by a mover LEAVING the same full
+    tile this step (the plan sees pre-departure occupancy).  A second
+    pass (tiled_relocate_passes=2) re-matches against post-departure
+    occupancy and places it; only final-pass deferrals count."""
+    from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+    t = 2.2
+    # 4 residents fill tile (2,2) at cap 4; one arrival waits in (2,1)
+    pos = np.array([[1.2 * t, 1.5 * t], [1.4 * t, 1.5 * t],
+                    [1.6 * t, 1.5 * t], [1.8 * t, 1.5 * t],
+                    [0.5 * t, 1.5 * t]], np.float32)
+    cfg = _cfg(tile_cap=4, initial_particles=5, tiled_match="greedy",
+               tiled_hysteresis=0.0)
+    st = tiled.init_tiles(cfg, pos, np.full(5, 0.01, np.float32))
+    # residents all leave toward (2,3); the arrival homes to (2,2)
+    st = tiled.TileState(
+        x=st.x + jnp.where(st.pid >= 0, t, 0.0).astype(jnp.float32),
+        y=st.y, px=st.px, py=st.py, radius=st.radius, pid=st.pid,
+        num_active=st.num_active, overflow_count=st.overflow_count)
+
+    one = tiled._relocate_passes(relocate_pallas, st, cfg)
+    assert int(one.overflow_count) == 1  # arrival blocked by pre-departure
+    two = tiled._relocate_passes(
+        relocate_pallas, st, cfg.replace(tiled_relocate_passes=2))
+    assert int(two.overflow_count) == 0
+    occ = np.asarray(two.pid) >= 0
+    k, ty, tx = np.nonzero(occ)
+    got = {int(np.asarray(two.pid)[a, b, c]): (int(b), int(c))
+           for a, b, c in zip(k, ty, tx)}
+    assert got[4] == (2, 2)                    # arrival placed
+    assert all(got[i] == (2, 3) for i in range(4))  # residents landed
+
+
+def test_greedy_relocate_conserves_in_dense_scene():
+    cfg = _cfg(initial_particles=200, tile_cap=6, tiled_collide="jnp",
+               tiled_relocate="pallas", tiled_match="greedy")
+    eng = TiledEngine(cfg, seed=9)
+    eng.run(30)
+    pid, pos, _, _ = tiled.export_particles(eng.state)
+    assert len(pid) == 200
+    assert np.isfinite(pos).all()
+
+
 def test_single_kernel_relocate_matches_two_pass():
     """relocate_pallas_one (plan recomputed in-kernel) is bit-identical to
     the two-pass plan/apply relocate."""
     from gpu_physics_engine_tpu.ops.tiled_pallas import (
         relocate_pallas, relocate_pallas_one)
-    cfg = _cfg(tile_cap=8)
+    # the single-kernel variant implements flip matching only
+    cfg = _cfg(tile_cap=8, tiled_match="flip", tiled_hysteresis=0.0)
     t, TY, TX = tiled.tile_geometry(cfg)
     rng = np.random.default_rng(17)
     n = 120

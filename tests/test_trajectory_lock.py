@@ -37,7 +37,7 @@ def _run(solver, pipeline="sorted", steps=40):
 # vectorization-width differences between x86 hosts.
 _EXPECTED = {
     "colored": [128.39407348632812, 58.105735778808594, 73.85853576660156,
-                36.64762878417969, 17.650592803955078],
+                36.64762878417969, 17.65059471130371],
     "fast": [128.39295959472656, 58.09552764892578, 73.8560562133789,
              36.618186950683594, 17.265073776245117],
     "tiled": [127.47721099853516, 57.51222229003906, 73.82646179199219,
