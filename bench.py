@@ -57,65 +57,81 @@ BASELINE_MS = {100_000: 1.03, 256_000: 1.28, 512_000: 1.88, 756_000: 2.53,
                1_048_576: 3.66, 2_000_000: 8.417, 3_000_000: 15.62,
                4_194_304: 22.70}
 
-# (tile_multiplier, tile_cap, chunk, match) per size — winners of the
-# round-2 hardware sweeps (scripts/tpu_sweep_curve*.py; greedy/flip slot
-# matching + relocate hysteresis): fastest config whose steady-state
-# deferral stays at/near the ~1%/step physics-quality bound.  512k/756k
-# are the curve's hardest points (geometry-bound ~2-2.6 ms floors at
-# quality caps vs 1.88/2.53 ms baselines); faster configs exist at
-# relaxed deferral (512k: mult 5.5/cap 4 = 1.62 ms @ 2.2%).
+# (tile_multiplier, tile_cap, chunk, match, relocate_interval) per size —
+# winners of the round-2 hardware sweeps (scripts/tpu_sweep_curve*.py +
+# tpu_sweep_iv*.py; greedy/flip slot matching + relocate hysteresis +
+# relocate interval): fastest config whose deferred population
+# (defer_pct x interval — PERF.md "Relocate interval") stays at/near the
+# ~1% physics-quality bound.  The interval is the mid-curve fix: the
+# relocate phase is ~half of every step yet only moves storage, so
+# running it every k-th step wins 25-40% at every size.
 _TILE_GEOM = {
-    100_000: (22.0, 8, 128, "greedy"),
-    256_000: (12.1, 8, 128, "greedy"),
-    512_000: (6.6, 6, 128, "greedy"),
-    756_000: (4.4, 4, 32, "greedy"),
-    1_048_576: (4.4, 5, 32, "greedy"),
-    2_000_000: (4.4, 6, 16, "greedy"),
-    3_000_000: (3.3, 6, 16, "flip"),
-    4_194_304: (3.3, 6, 16, "greedy"),
+    100_000: (22.0, 8, 128, "greedy", 4),
+    256_000: (12.1, 8, 128, "greedy", 2),
+    512_000: (6.6, 6, 128, "greedy", 4),
+    756_000: (4.4, 4, 32, "greedy", 4),
+    1_048_576: (4.4, 5, 32, "greedy", 4),
+    2_000_000: (4.4, 6, 16, "greedy", 4),
+    3_000_000: (3.3, 6, 16, "flip", 2),
+    4_194_304: (3.3, 6, 16, "greedy", 2),
 }
 
-SETTLE = 400     # steps before timing (mover churn decays)
+SETTLE = 480     # steps before timing (mover churn decays).  Multiple of
+                 # the 240-step sweep cadence so the settle phase runs the
+                 # exact chunk-length pattern of the timed window — run()
+                 # compiles one scanned program per distinct window length
+                 # (e.g. {128, 112} at chunk 128), and a first-occurrence
+                 # compile inside the timed window would dominate it.
 WINDOW = 480     # timed steps: 2 full 240-step sweep cycles included
 
 
 def measure_tiled(n: int):
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
-    mult, cap, chunk, match = _TILE_GEOM[n]
+    mult, cap, chunk, match, iv = _TILE_GEOM[n]
     cfg = SimConfig(max_particles=n, initial_particles=n,
                     pipeline="tiled", tile_cap=cap, tile_multiplier=mult,
-                    tiled_match=match)
+                    tiled_match=match, tiled_relocate_interval=iv)
     eng = TiledEngine(cfg, seed=0, chunk=chunk)
-    settle = SETTLE - SETTLE % chunk
-    eng.run(settle)
+    eng.run(SETTLE)
     of0 = float(eng.state.overflow_count)  # fetch = device sync
     t0 = time.perf_counter()
     eng.run(WINDOW)
     float(eng.state.x[0, 0, 0])
     ms = (time.perf_counter() - t0) / WINDOW * 1e3
+    # deferral events are only counted at relocate steps: x interval =
+    # the deferred-population fraction (PERF.md "Relocate interval")
     defer_pct = ((float(eng.state.overflow_count) - of0)
-                 / WINDOW / n * 100.0)
+                 / WINDOW / n * 100.0) * iv
     return ms, defer_pct, eng
 
 
-def measure_render(eng) -> float:
-    """Device-side 1280x720 frame, end-to-end (render + download)."""
-    eng.render_frame()  # compile
+def measure_render(eng):
+    """1280x720 frame cost: (device_ms, end_to_end_ms).
+
+    device_ms scans 16 frames in one program (render/device.py::
+    render_throughput_ms) — the chip's actual per-frame cost.  The
+    end-to-end number adds the tunnel: one dispatched program plus the
+    2.7 MB image download (~43 ms at the relay's ~64 MB/s), which bounds
+    host display cadence, not device rendering."""
+    from gpu_physics_engine_tpu.render.device import render_throughput_ms
+    dev_ms = render_throughput_ms(eng.state, eng.config)
+    eng.render_frame()  # compile the dispatch path
     t0 = time.perf_counter()
     for _ in range(3):
         eng.render_frame()
-    return (time.perf_counter() - t0) / 3 * 1e3
+    return dev_ms, (time.perf_counter() - t0) / 3 * 1e3
 
 
 def measure_substeps2() -> float:
     """The BASELINE config-4 scene (four_million: substeps=2)."""
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
-    mult, cap, chunk, match = _TILE_GEOM[4_194_304]
+    mult, cap, chunk, match, iv = _TILE_GEOM[4_194_304]
     cfg = SimConfig(max_particles=4_194_304, initial_particles=4_194_304,
                     substeps=2, pipeline="tiled", tile_cap=cap,
-                    tile_multiplier=mult, tiled_match=match)
+                    tile_multiplier=mult, tiled_match=match,
+                    tiled_relocate_interval=iv)
     eng = TiledEngine(cfg, seed=0, chunk=chunk)
     eng.run(128)
     float(eng.state.x[0, 0, 0])
@@ -149,7 +165,7 @@ def main():
                 "ms_per_step": round(ms, 3),
                 "baseline_ms": BASELINE_MS[n],
                 "vs_baseline": round(BASELINE_MS[n] / ms, 3),
-                "deferral_pct_per_step": round(defer_pct, 3),
+                "deferred_population_pct": round(defer_pct, 3),
                 "particle_steps_per_sec": round(n / ms * 1e3),
             }
             if n == 4_194_304:
@@ -160,7 +176,9 @@ def main():
             detail[str(n)] = {"error": f"{type(e).__name__}: {e}"[:160]}
     if eng_4m is not None:
         try:
-            detail["render_4m_ms"] = round(measure_render(eng_4m), 1)
+            dev_ms, e2e_ms = measure_render(eng_4m)
+            detail["render_4m_ms"] = round(dev_ms, 2)
+            detail["render_4m_download_ms"] = round(e2e_ms, 1)
         except Exception as e:
             detail["render_4m_ms"] = f"error: {type(e).__name__}"[:80]
         del eng_4m

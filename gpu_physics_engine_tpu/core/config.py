@@ -126,6 +126,21 @@ class SimConfig:
     # picks min(0.25, 0.9*max_safe).  The exact claim relocate and the
     # periodic sweep still restore storage == home exactly.
     tiled_hysteresis: float = -1.0
+    # relocate every k-th step (1 = every step).  The relocate phase is
+    # ~half the tiled step cost at every production geometry (PERF.md
+    # phase split) yet it only moves STORAGE, never positions: physics
+    # stays exact while every particle remains within the pair-set
+    # staleness bound of its storage tile (2*(delta + (k-1)*drift) +
+    # 2*r_max <= tile_edge).  The auto hysteresis reserves
+    # (k-1)*tiled_drift_budget of the margin for the un-relocated steps;
+    # the periodic exact sweep (sort_interval_steps) still restores
+    # storage == home.  Requires tiled_solver="sweep" (the GS parity
+    # solver needs storage == home every step).
+    tiled_relocate_interval: int = 1
+    # per-step drift reserve (WORLD units) for the interval bound above;
+    # -1 = auto (0.15 * r_max: steady-state |v| measures ~0.11 r/step at
+    # every production scene, PERF.md).  Raise for hot scenes.
+    tiled_drift_budget: float = -1.0
     # pull-relocate passes per step.  Matching is one-shot within a pass:
     # an arrival cannot take a slot vacated by a mover LEAVING the same
     # full tile this step (the plan sees pre-departure occupancy), which
@@ -141,6 +156,16 @@ class SimConfig:
     # bit-matches the scalar model — pair with tile_multiplier=2.2 and
     # tiled_relocate="jnp")
     tiled_solver: str = "sweep"
+    # GS Pallas kernel layout: "flat" = full-grid checkerboard-masked
+    # kernels, "dec" = 2x2 color-decomposed sub-grids (each color pass
+    # on a 4x smaller grid with no masking; XLA strided relayouts),
+    # "mx" = the decomposed kernels with the relayouts done as blocked
+    # one-hot MATMULS (MXU-speed, bit-exact via u16 half splits —
+    # ops/gs_pallas.py).  All bit-match the scalar model
+    # (tests/test_gs_tiled.py).  "auto" = flat: "dec"'s kernels are ~4x
+    # cheaper but its XLA stride-2 relayouts cost ~130 ms @1M (PERF.md);
+    # "mx" removes that tax — flipped to auto once hardware-verified.
+    gs_layout: str = "auto"
     # fuse Verlet integration into the Pallas collide kernel (one band
     # read/write per substep instead of a separate XLA integrate pass)
     tiled_fuse_integrate: bool = True
@@ -186,6 +211,11 @@ class SimConfig:
         assert self.tiled_spawn in ("bigs", "retile", "auto")
         assert self.big_capacity >= 1
         assert self.tiled_solver in ("sweep", "gs")
+        assert self.tiled_relocate_interval >= 1
+        assert not (self.tiled_solver == "gs"
+                    and self.tiled_relocate_interval > 1), (
+            "the GS parity solver requires storage == home every step")
+        assert self.gs_layout in ("auto", "dec", "flat", "mx")
         assert self.world_shape in ("box", "circle")
         assert self.max_cells_per_object == 4, "2D: home + 3 phantom cells"
 
@@ -228,11 +258,24 @@ class SimConfig:
         return self.cell_size_multiplier * max_radius
 
     @property
+    def drift_budget(self) -> float:
+        """Per-step staleness drift reserve in WORLD units (see
+        tiled_drift_budget)."""
+        if self.tiled_drift_budget >= 0.0:
+            return self.tiled_drift_budget
+        return 0.15 * self.tile_max_radius_effective
+
+    @property
     def hysteresis_delta(self) -> float:
         """Resolved pull-relocate hysteresis in WORLD units (see
-        tiled_hysteresis).  0 when the geometry leaves no safe margin."""
+        tiled_hysteresis).  0 when the geometry leaves no safe margin.
+        With tiled_relocate_interval=k, (k-1) steps of drift_budget are
+        reserved out of the safe margin so the pair-set bound
+        2*(delta + (k-1)*drift) + 2*r_max <= tile_edge keeps holding."""
         t = self.tile_multiplier * self.tile_max_radius_effective
         d_max = (t - 2.0 * self.tile_max_radius_effective) / 2.0
+        d_max -= (self.tiled_relocate_interval - 1) * self.drift_budget
+        d_max = max(0.0, d_max)
         if self.tiled_hysteresis >= 0.0:
             d = self.tiled_hysteresis * t
         else:

@@ -9,6 +9,7 @@ are comparable with the slot-ordered engines.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -98,11 +99,53 @@ class TiledEngine:
         # even pipelined), comparable to the 4M device step itself; scanning
         # amortizes it to ~0.  params is a traced argument, so mouse/dt
         # changes don't recompile.
-        def _chunk(state, p):
-            return jax.lax.scan(
-                lambda s, _: (tiled.tiled_step_fn(s, p, config), None),
-                state, None, length=self.CHUNK)[0]
-        self._chunk = jax.jit(_chunk, donate_argnums=0)
+        # compiled per distinct scan length: run() windows that are not
+        # CHUNK multiples (sweep cadence, sync_every, odd n_steps) get a
+        # scanned program of the remainder length instead of degrading to
+        # per-step dispatch (~5.7 ms/program over the tunnel — a 112-step
+        # remainder at chunk 128 used to cost 112 dispatches)
+        self._chunks = {}
+        # relocate every iv-th step (SimConfig.tiled_relocate_interval):
+        # the relocate phase is ~half the step cost (PERF.md phase split)
+        # but only moves storage, never positions; the auto hysteresis
+        # reserved (iv-1) steps of drift for the off-steps.  Each scanned
+        # group starts with a relocating step, so the pattern restarts at
+        # window boundaries (documented; windows are CHUNK-multiples of
+        # iv in production).
+        iv = max(1, config.tiled_relocate_interval)
+
+        def _group(s, p, m):
+            s = tiled.tiled_step_fn(s, p, config)
+            for _ in range(m - 1):
+                s = tiled.tiled_step_fn(s, p, config, do_relocate=False)
+            return s
+
+        def _chunk_of(k: int):
+            if k not in self._chunks:
+                def _chunk(state, p):
+                    full, rem = divmod(k, iv)
+                    if full:
+                        state = jax.lax.scan(
+                            lambda s, _: (_group(s, p, iv), None),
+                            state, None, length=full)[0]
+                    if rem:
+                        state = _group(state, p, rem)
+                    return state
+                self._chunks[k] = jax.jit(_chunk, donate_argnums=0)
+            return self._chunks[k]
+        self._chunk_of = _chunk_of
+        self._chunk = _chunk_of(self.CHUNK)
+        # remainder-window scanning exists for the tunneled TPU runtime
+        # (~5.7 ms per dispatched program); on CPU/interpret backends
+        # per-step dispatch is free while every distinct window length
+        # is a fresh (very slow) XLA compile — gate it off there
+        self._scan_remainders = jax.default_backend() == "tpu"
+        # single-step path: relocate on the interval phase (step() tracks
+        # self._steps_done % iv)
+        self._step_nr = jax.jit(
+            partial(tiled.tiled_step_fn, config=config, do_relocate=False),
+            donate_argnums=0) if iv > 1 else None
+        self._reloc_iv = iv
         if self.big is not None:
             self._build_hybrid()
 
@@ -111,16 +154,41 @@ class TiledEngine:
         oversized spawn creates the overlay (ops/bigs.py)."""
         from gpu_physics_engine_tpu.ops import bigs as bigs_ops
         config = self.config
+        iv = self._reloc_iv
 
         self._hybrid_step = jax.jit(
             lambda ts, bg, p: bigs_ops.hybrid_step_fn(ts, bg, p, config),
             donate_argnums=(0, 1))
+        # off-steps of tiled_relocate_interval (see _step_nr)
+        self._hybrid_step_nr = jax.jit(
+            lambda ts, bg, p: bigs_ops.hybrid_step_fn(
+                ts, bg, p, config, do_relocate=False),
+            donate_argnums=(0, 1)) if iv > 1 else None
 
-        def _hchunk(carry, p):
-            def body(c, _):
-                return bigs_ops.hybrid_step_fn(c[0], c[1], p, config), None
-            return jax.lax.scan(body, carry, None, length=self.CHUNK)[0]
-        self._hybrid_chunk = jax.jit(_hchunk, donate_argnums=0)
+        def _hgroup(c, p, m):
+            c = bigs_ops.hybrid_step_fn(c[0], c[1], p, config)
+            for _ in range(m - 1):
+                c = bigs_ops.hybrid_step_fn(c[0], c[1], p, config,
+                                            do_relocate=False)
+            return c
+
+        self._hybrid_chunks = {}
+
+        def _hchunk_of(k: int):
+            if k not in self._hybrid_chunks:
+                def _hchunk(carry, p):
+                    full, rem = divmod(k, iv)
+                    if full:
+                        carry = jax.lax.scan(
+                            lambda c, _: (_hgroup(c, p, iv), None),
+                            carry, None, length=full)[0]
+                    if rem:
+                        carry = _hgroup(carry, p, rem)
+                    return carry
+                self._hybrid_chunks[k] = jax.jit(_hchunk, donate_argnums=0)
+            return self._hybrid_chunks[k]
+        self._hybrid_chunk_of = _hchunk_of
+        self._hybrid_chunk = _hchunk_of(self.CHUNK)
 
     def _retile(self, tile_max_radius: float):
         """Rebuild the tiling so particles up to ``tile_max_radius`` fit.
@@ -165,9 +233,14 @@ class TiledEngine:
         interval = self._sweep_interval
         if interval and self._steps_done and self._steps_done % interval == 0:
             self.state = self._sweep(self.state)
+        off_phase = (self._reloc_iv > 1
+                     and self._steps_done % self._reloc_iv != 0)
         if self.big is not None:
-            self.state, self.big = self._hybrid_step(
+            hstep = self._hybrid_step_nr if off_phase else self._hybrid_step
+            self.state, self.big = hstep(
                 self.state, self.big, params or self.params())
+        elif off_phase:
+            self.state = self._step_nr(self.state, params or self.params())
         else:
             self.state = self._step(self.state, params or self.params())
         self._steps_done += 1
@@ -192,19 +265,35 @@ class TiledEngine:
             if sync_every:
                 bound = min(bound, sync_every - done % sync_every
                             if done % sync_every else sync_every)
-            if bound >= self.CHUNK:
-                if self.big is not None:
+            if self.big is not None:
+                if bound >= self.CHUNK:
                     self.state, self.big = self._hybrid_chunk(
                         (self.state, self.big), p)
+                    took = self.CHUNK
+                elif bound > 1 and self._scan_remainders:
+                    self.state, self.big = self._hybrid_chunk_of(bound)(
+                        (self.state, self.big), p)
+                    took = bound
                 else:
-                    self.state = self._chunk(self.state, p)
+                    off = (self._reloc_iv > 1
+                           and self._steps_done % self._reloc_iv != 0)
+                    hstep = (self._hybrid_step_nr if off
+                             else self._hybrid_step)
+                    self.state, self.big = hstep(self.state, self.big, p)
+                    took = 1
+            elif bound >= self.CHUNK:
+                self.state = self._chunk(self.state, p)
                 took = self.CHUNK
-            elif self.big is not None:
-                self.state, self.big = self._hybrid_step(
-                    self.state, self.big, p)
-                took = 1
+            elif bound > 1 and self._scan_remainders:
+                # remainder window: one scanned program of exactly
+                # `bound` steps (compiled once per distinct length)
+                self.state = self._chunk_of(bound)(self.state, p)
+                took = bound
             else:
-                self.state = self._step(self.state, p)
+                off = (self._reloc_iv > 1
+                       and self._steps_done % self._reloc_iv != 0)
+                self.state = (self._step_nr if off else self._step)(
+                    self.state, p)
                 took = 1
             self._steps_done += took
             done += took

@@ -87,10 +87,12 @@ def init_bigs(capacity: int) -> BigState:
 def window_halfwidth(config: SimConfig) -> int:
     """Static tile-window half-width so every possible big-small pair is
     inside the gather: bigs reach spawn_radius_max, partners reach
-    r_small + the pull-relocate hysteresis band past their storage tile."""
+    r_small + the pull-relocate staleness band past their storage tile
+    (hysteresis plus the relocate interval's reserved off-step drift)."""
     t, TY, TX = tile_geometry(config)
     reach = (config.spawn_radius_max + config.tile_max_radius_effective
-             + config.hysteresis_delta)
+             + config.hysteresis_delta
+             + (config.tiled_relocate_interval - 1) * config.drift_budget)
     w = int(math.ceil(reach / t))
     # window must fit inside the grid (tiny test worlds)
     return max(1, min(w, (min(TY, TX) - 1) // 2))
@@ -206,14 +208,20 @@ def integrate_bigs(big: BigState, params: StepParams, config: SimConfig,
 
 
 def hybrid_step_fn(tiles: TileState, big: BigState, params: StepParams,
-                   config: SimConfig) -> Tuple[TileState, BigState]:
+                   config: SimConfig, do_relocate: bool = True
+                   ) -> Tuple[TileState, BigState]:
     """Full frame with the overlay: couple (Jacobi cross terms), then the
     standard tile step (relocate -> solve -> integrate), then integrate
     the bigs.  Coupling runs once per frame regardless of substeps (the
-    overlay is a spawn-scene feature; spawn scenes run substeps=1)."""
+    overlay is a spawn-scene feature; spawn scenes run substeps=1).
+    ``do_relocate`` forwards the SimConfig.tiled_relocate_interval
+    off-step to the tile phase (coupling itself is storage-agnostic: the
+    big<->tile cross terms search the big's 3x3 STORAGE neighborhood,
+    which the interval keeps within the same staleness bound as the
+    collide window)."""
     from gpu_physics_engine_tpu.ops.tiled import tiled_step_fn
     tiles, big = couple_bigs(tiles, big, config)
-    tiles = tiled_step_fn(tiles, params, config)
+    tiles = tiled_step_fn(tiles, params, config, do_relocate=do_relocate)
     big = integrate_bigs(big, params, config)
     return tiles, big
 

@@ -243,7 +243,30 @@ def _apply_kernel(uxu, uxm, uxd, uyu, uym, uyd, rpu, rpm, rpd,
 
 
 def gs_solve_pallas(state: TileState, config: SimConfig) -> TileState:
-    """Drop-in Pallas replacement for ops/gs_tiled.gs_solve (single-chip).
+    """Reference-parity GS solve, Pallas band kernels.  Dispatches on
+    SimConfig.gs_layout: "flat" = full-grid checkerboard-masked kernels
+    (25 ms @1M on v5e), "dec" = the 2x2 color-decomposed formulation
+    (4x-smaller per-color grids, but the XLA stride-2
+    decompose/recompose relayouts cost ~130 ms @1M — kept as the
+    structural cross-check), "mx" = the same decomposed kernels with the
+    relayouts done as blocked one-hot MATMULS (MXU-speed, bit-exact via
+    u16 half splits — see _mx_deinterleave).  All bit-match the scalar
+    model."""
+    layout = config.gs_layout
+    _, TY, TX = state.dims
+    if layout == "dec" and (TY - 2 < 2 or TX - 2 < 2):
+        layout = "flat"  # not decomposable (tiny grid)
+    if layout == "mx" and (TY < 2 or TX < 2):
+        layout = "flat"
+    if layout == "dec":
+        return gs_solve_pallas_dec(state, config)
+    if layout == "mx":
+        return gs_solve_pallas_mx(state, config)
+    return gs_solve_pallas_flat(state, config)
+
+
+def gs_solve_pallas_flat(state: TileState, config: SimConfig) -> TileState:
+    """Full-grid formulation of the GS solve (single-chip).
     Same frozen-membership 4-color schedule; bit-matches the scalar model
     (tests/test_gs_tiled.py runs it in interpret mode)."""
     t, TY, TX = tile_geometry(config)
@@ -329,4 +352,567 @@ def gs_solve_pallas(state: TileState, config: SimConfig) -> TileState:
         y = y[:, :TY]
     return dataclasses.replace(
         state, x=x, y=y,
+        overflow_count=state.overflow_count + overflow)
+
+
+# ---------------------------------------------------------------------------
+# 2x2 color-decomposed formulation
+# ---------------------------------------------------------------------------
+#
+# The flat kernels above pay a structural 4x: every color pass computes
+# resolution + sweep + apply over the FULL grid with a checkerboard mask,
+# though only 1/4 of the cells are active.  The reference sidesteps this
+# with per-color indirect dispatch (collision_solver.rs submits one
+# compute pass per color over that color's cell list); the TPU answer is
+# a regular 2x2 space decomposition: interior tiles are split by row/col
+# parity into four sub-grids, one per checkerboard color.  A color pass
+# then runs on ITS sub-grid only — no mask, 1/4 the lanes — and every
+# full-space 3x3 neighbor offset maps to a {-1, 0, +1} offset of one of
+# the four sub-grids (still ordinary band halos + lane rolls).  The
+# decomposition/recomposition are XLA strided slices outside the kernels
+# (one extra pass over the state per frame), so the kernels stay free of
+# lane shuffles.  Bit-parity with the flat formulation and the scalar
+# model is exact: identical op order, identical selection structure.
+
+_PARS = [(0, 0), (0, 1), (1, 0), (1, 1)]  # (row parity, col parity)
+
+
+def _color_parity(color: int):
+    """color = 1 + ((tx-1)&1) + 2*((ty-1)&1)  ->  (row, col) parity."""
+    return ((color - 1) >> 1, (color - 1) & 1)
+
+
+def _dec_off(p: int, d: int, pc: int) -> int:
+    """Decimated-axis offset of the tile at full-space offset ``d`` from a
+    parity-``p`` tile, landing on parity ``pc``: (p + d - pc) // 2 with
+    pc == (p + d) & 1; always in {-1, 0, +1}."""
+    assert pc == (p + d) & 1
+    return (p + d - pc) // 2
+
+
+def _dec_geometry(TY: int, TX: int):
+    """Decimated shapes: interior (TY-2, TX-2) padded to even, halved,
+    plus a 1-ring border; rows padded to a BAND multiple."""
+    TYi, TXi = TY - 2, TX - 2
+    TYe, TXe = TYi + (TYi & 1), TXi + (TXi & 1)
+    H, W = TYe // 2, TXe // 2
+    DX = W + 2
+    DYp = -(-(H + 2) // BAND) * BAND
+    return TYi, TXi, TYe, TXe, H, W, DYp, DX
+
+
+def _decompose(a, TY: int, TX: int, fill):
+    """Full [C, >=TY, TX] -> {(pa, pb): [C, DYp, DX]} parity sub-grids
+    (border ring + row padding hold ``fill``)."""
+    TYi, TXi, TYe, TXe, H, W, DYp, DX = _dec_geometry(TY, TX)
+    i = a[:, 1:TY - 1, 1:TX - 1]
+    i = jnp.pad(i, ((0, 0), (0, TYe - TYi), (0, TXe - TXi)),
+                constant_values=fill)
+    subs = {}
+    for pa, pb in _PARS:
+        s = i[:, pa::2, pb::2]
+        subs[(pa, pb)] = jnp.pad(
+            s, ((0, 0), (1, DYp - H - 1), (1, 1)), constant_values=fill)
+    return subs
+
+
+def _recompose(subs, TY: int, TX: int):
+    """Inverse of _decompose (interior values only): -> [C, TYi, TXi]."""
+    TYi, TXi, TYe, TXe, H, W, _, _ = _dec_geometry(TY, TX)
+    rows = []
+    for pa in (0, 1):
+        lanes = [subs[(pa, pb)][:, 1:1 + H, 1:1 + W] for pb in (0, 1)]
+        rows.append(jnp.stack(lanes, axis=-1).reshape(-1, H, TXe))
+    inter = jnp.stack(rows, axis=2).reshape(-1, TYe, TXe)
+    return inter[:, :TYi, :TXi]
+
+
+def _dec_views(rows_by_par, ac: int, bc: int):
+    """view[j] = the full-space _OFFS[j] neighbor of a color-(ac, bc)
+    cell, as a (banded rows, lane roll) view over the parity sub-grids."""
+    views = []
+    for (dy, dx) in _OFFS:
+        pa, pb = (ac + dy) & 1, (bc + dx) & 1
+        oy = _dec_off(ac, dy, pa)
+        ox = _dec_off(bc, dx, pb)
+        views.append(_lane(rows_by_par[(pa, pb)][oy + 1], ox))
+    return views
+
+
+def _solve_dec_kernel(one_ref, *refs, cap: int, K: int, ac: int, bc: int,
+                      stiffness: float):
+    """Fused resolve + ordered sweep for ONE color on its decimated
+    sub-grid (no checkerboard mask — every lane is an active cell)."""
+    one = one_ref[0]
+    # refs: per parity x(3), then per parity y(3), then src, rpid, rrad
+    xr = {p: _rows3(*(r[...] for r in refs[3 * i:3 * i + 3]))
+          for i, p in enumerate(_PARS)}
+    yr = {p: _rows3(*(r[...] for r in refs[12 + 3 * i:12 + 3 * i + 3]))
+          for i, p in enumerate(_PARS)}
+    src_v = refs[24][...]
+    rpid_v = refs[25][...]
+    rrad_v = refs[26][...]
+    ux_ref, uy_ref = refs[27], refs[28]
+
+    band = src_v.shape[1]
+    shape1 = (1, band, src_v.shape[2])
+    vx = _dec_views(xr, ac, bc)
+    vy = _dec_views(yr, ac, bc)
+
+    lx, ly, lr, lpid = [], [], [], []
+    for q in range(K):
+        code_q = src_v[q:q + 1]
+        xq = jnp.zeros(shape1, jnp.float32)
+        yq = jnp.zeros(shape1, jnp.float32)
+        for j in range(9):
+            for s in range(cap):
+                hitq = code_q == j * cap + s
+                xq = jnp.where(hitq, vx[j][s:s + 1], xq)
+                yq = jnp.where(hitq, vy[j][s:s + 1], yq)
+        lx.append(xq)
+        ly.append(yq)
+        lr.append(rrad_v[q:q + 1])
+        lpid.append(rpid_v[q:q + 1])
+
+    active = jnp.full(shape1, True)
+    lx, ly = _sweep(lx, ly, lr, lpid, active, jnp.float32(stiffness), one)
+    ux_ref[...] = jnp.concatenate(lx, axis=0)
+    uy_ref[...] = jnp.concatenate(ly, axis=0)
+
+
+def _apply_dec_kernel(*refs, cap: int, K: int, ac: int, bc: int):
+    """Pull each particle's update from the one color-(ac, bc) cell whose
+    rank table names its pid.  A parity-p tile is adjacent to 1, 2 or 4
+    cells of a given color (vs 9 masked candidates in the flat kernel)."""
+    # refs: ux(3), uy(3), rpid(3), then per parity x, y, pid (mid), then
+    # 8 outputs (x, y per parity)
+    uxr = _rows3(*(r[...] for r in refs[0:3]))
+    uyr = _rows3(*(r[...] for r in refs[3:6]))
+    rpr = _rows3(*(r[...] for r in refs[6:9]))
+    mids = {p: (refs[9 + 3 * i][...], refs[10 + 3 * i][...],
+                refs[11 + 3 * i][...])
+            for i, p in enumerate(_PARS)}
+    outs = refs[21:]
+
+    for i, (pa, pb) in enumerate(_PARS):
+        x_mid, y_mid, pid_mid = mids[(pa, pb)]
+        dys = [0] if pa == ac else [-1, 1]
+        dxs = [0] if pb == bc else [-1, 1]
+        cells = []
+        for dy in dys:
+            for dx in dxs:
+                oy = _dec_off(pa, dy, ac)
+                ox = _dec_off(pb, dx, bc)
+                cells.append((_lane(uxr[oy + 1], ox),
+                              _lane(uyr[oy + 1], ox),
+                              _lane(rpr[oy + 1], ox)))
+        newx = [x_mid[k:k + 1] for k in range(cap)]
+        newy = [y_mid[k:k + 1] for k in range(cap)]
+        for k in range(cap):
+            mypid = pid_mid[k:k + 1]
+            occ = mypid >= 0
+            for ux_c, uy_c, rp_c in cells:
+                for q in range(K):
+                    hit = occ & (rp_c[q:q + 1] == mypid)
+                    newx[k] = jnp.where(hit, ux_c[q:q + 1], newx[k])
+                    newy[k] = jnp.where(hit, uy_c[q:q + 1], newy[k])
+        outs[2 * i][...] = jnp.concatenate(newx, axis=0)
+        outs[2 * i + 1][...] = jnp.concatenate(newy, axis=0)
+
+
+def gs_solve_pallas_dec(state: TileState, config: SimConfig) -> TileState:
+    """Color-decomposed GS solve: rank once in full space, then per color
+    a fused resolve+sweep and an apply, both on the color's 2x2-decimated
+    sub-grid.  Bit-matches gs_solve_pallas_flat / the scalar model."""
+    t, TY, TX = tile_geometry(config)
+    cap = state.dims[0]
+    K = config.max_occupancy
+    TYi, TXi, TYe, TXe, H, W, DYp, DX = _dec_geometry(TY, TX)
+
+    # ---- rank (full space, shared with the flat formulation) ----
+    pad = (-TY) % BAND
+    x, y, r, pid = state.x, state.y, state.radius, state.pid
+    if pad:
+        width = ((0, 0), (0, pad), (0, 0))
+        x = jnp.pad(x, width)
+        y = jnp.pad(y, width)
+        r = jnp.pad(r, width)
+        pid = jnp.pad(pid, width, constant_values=-1)
+    TYp = TY + pad
+    nb_full = TYp // BAND
+
+    def mid_full(i):
+        return (0, i, 0)
+
+    def spec3f(c):
+        def up(i):
+            return (0, jnp.maximum(i - 1, 0), 0)
+
+        def dn(i):
+            return (0, jnp.minimum(i + 1, nb_full - 1), 0)
+        return [pl.BlockSpec((c, BAND, TX), m, memory_space=pltpu.VMEM)
+                for m in (up, mid_full, dn)]
+
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
+                    jnp.float32(2.0)).reshape((1,))
+
+    src, rpid, rrad, count = pl.pallas_call(
+        partial(_rank_kernel, cap=cap, K=K, t=t),
+        grid=(nb_full,),
+        in_specs=[smem] + spec3f(cap) * 4,
+        out_specs=(pl.BlockSpec((K, BAND, TX), mid_full,
+                                memory_space=pltpu.VMEM),) * 3 + (
+            pl.BlockSpec((BAND, TX), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),),
+        out_shape=(_sds((K, TYp, TX), jnp.int32),
+                   _sds((K, TYp, TX), jnp.int32),
+                   _sds((K, TYp, TX), jnp.float32),
+                   _sds((TYp, TX), jnp.int32)),
+        compiler_params=vmem,
+        interpret=_interpret(),
+    )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
+    overflow = jnp.sum(jnp.maximum(count - K, 0))
+
+    # ---- decompose to parity sub-grids ----
+    xs = _decompose(state.x, TY, TX, 0.0)
+    ys = _decompose(state.y, TY, TX, 0.0)
+    ps = _decompose(state.pid, TY, TX, -1)
+    srcs = _decompose(src, TY, TX, -1)
+    rpids = _decompose(rpid, TY, TX, _BIGPID)
+    rrads = _decompose(rrad, TY, TX, 0.0)
+
+    nb = DYp // BAND
+
+    def mid(i):
+        return (0, i, 0)
+
+    def spec3(c):
+        def up(i):
+            return (0, jnp.maximum(i - 1, 0), 0)
+
+        def dn(i):
+            return (0, jnp.minimum(i + 1, nb - 1), 0)
+        return [pl.BlockSpec((c, BAND, DX), m, memory_space=pltpu.VMEM)
+                for m in (up, mid, dn)]
+
+    def spec1(c):
+        return pl.BlockSpec((c, BAND, DX), mid, memory_space=pltpu.VMEM)
+
+    for color in (1, 2, 3, 4):
+        ac, bc = _color_parity(color)
+        ux, uy = pl.pallas_call(
+            partial(_solve_dec_kernel, cap=cap, K=K, ac=ac, bc=bc,
+                    stiffness=config.stiffness),
+            grid=(nb,),
+            in_specs=([smem] + [s for p in _PARS for s in spec3(cap)]
+                      + [s for p in _PARS for s in spec3(cap)]
+                      + [spec1(K)] * 3),
+            out_specs=(spec1(K), spec1(K)),
+            out_shape=(_sds((K, DYp, DX), jnp.float32),
+                       _sds((K, DYp, DX), jnp.float32)),
+            compiler_params=vmem,
+            interpret=_interpret(),
+        )(one,
+          *[b for p in _PARS for b in (xs[p], xs[p], xs[p])],
+          *[b for p in _PARS for b in (ys[p], ys[p], ys[p])],
+          srcs[(ac, bc)], rpids[(ac, bc)], rrads[(ac, bc)])
+
+        new = pl.pallas_call(
+            partial(_apply_dec_kernel, cap=cap, K=K, ac=ac, bc=bc),
+            grid=(nb,),
+            in_specs=(spec3(K) + spec3(K) + spec3(K)
+                      + [spec1(cap)] * 12),
+            out_specs=tuple([spec1(cap)] * 8),
+            out_shape=tuple(_sds((cap, DYp, DX), jnp.float32)
+                            for _ in range(8)),
+            compiler_params=vmem,
+            interpret=_interpret(),
+        )(ux, ux, ux, uy, uy, uy,
+          rpids[(ac, bc)], rpids[(ac, bc)], rpids[(ac, bc)],
+          *[b for p in _PARS for b in (xs[p], ys[p], ps[p])])
+        for i, p in enumerate(_PARS):
+            xs[p] = new[2 * i]
+            ys[p] = new[2 * i + 1]
+
+    nx = state.x.at[:, 1:TY - 1, 1:TX - 1].set(_recompose(xs, TY, TX))
+    ny = state.y.at[:, 1:TY - 1, 1:TX - 1].set(_recompose(ys, TY, TX))
+    return dataclasses.replace(
+        state, x=nx, y=ny,
+        overflow_count=state.overflow_count + overflow)
+
+
+# ---------------------------------------------------------------------------
+# "mx" layout: decomposed kernels + one-hot-MATMUL relayouts
+# ---------------------------------------------------------------------------
+#
+# Same per-color kernels as the "dec" layout, but the parity
+# decompose/recompose run as blocked one-hot matmuls on the MXU instead
+# of XLA strided slices (measured ~130 ms @1M — strided lane access is
+# gather-class on TPU, DESIGN.md §7).  A stride-2 deinterleave of a
+# 256-block is a [256, 256] selection matmul whose sources stay inside
+# the block, so the whole relayout is reshape + matmul + contiguous
+# 128-boundary slicing — every piece is MXU/layout-native.
+#
+# Bit-exactness does NOT rely on the TPU's f32-matmul internals: every
+# 32-bit plane (float or int) is bitcast to u32 and split into two u16
+# halves carried as exact f32 values <= 65535 (16 mantissa bits; even
+# the bf16x3 default path carries 24).  Each output element of a
+# one-hot matmul is then a single exact product, and the halves are
+# bitcast back after the relayout — the round trip is bit-faithful for
+# ANY 32-bit payload.
+#
+# Unlike "dec" there is no explicit border ring: the FULL grid (its own
+# 1-ring pad border included) is decomposed with sub_p[d] = full[2d + p],
+# so the full grid's pad tiles land on the sub-grid edges and play the
+# fill role themselves (pad tiles hold pid=-1 / rpid=BIGPID, so their
+# lanes compute dead values that the pid-matched apply never takes).
+# Lane rolls wrap only for reads FROM those pad lanes.
+
+def _mx_parity(color: int):
+    """Full-space (ty & 1, tx & 1) parity of this color's tiles
+    (color = 1 + ((tx-1)&1) + 2*((ty-1)&1), gs_tiled.py)."""
+    return (1 - ((color - 1) >> 1), 1 - ((color - 1) & 1))
+
+
+def _mx_blocks(TY: int, TX: int):
+    """(row block, col block) for the relayout matmuls.  256 on the lane
+    axis = two 128-lane half-blocks per parity (a Mosaic requirement on
+    real TPU); the row axis only needs DYp % BAND == 0, i.e. a multiple
+    of 16 — adaptive so small worlds don't pad to 256 rows.  Under
+    interpret (CPU tests) both axes relax to 16-granular blocks."""
+    by = min(256, -(-TY // 16) * 16)
+    bx = min(256, -(-TX // 16) * 16) if _interpret() else 256
+    return by, bx
+
+
+def _mx_geometry(TY: int, TX: int):
+    """Row/col counts padded to the relayout blocks, and the sub-grid
+    shape (half of each padded axis per parity)."""
+    by, bx = _mx_blocks(TY, TX)
+    TYp = -(-TY // by) * by
+    TXp = -(-TX // bx) * bx
+    return TYp, TXp, TYp // 2, TXp // 2
+
+
+def _mx_onehot(b: int = 256):
+    """[b, b] selection matrix: column h < b/2 takes source 2h (even
+    parity), column h >= b/2 takes source 2(h-b/2)+1 (odd)."""
+    import numpy as np
+    k = np.arange(b)[:, None]
+    h = np.arange(b)[None, :]
+    src = np.where(h < b // 2, 2 * h, 2 * (h - b // 2) + 1)
+    return jnp.asarray((k == src).astype("float32"))
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mx_split(a):
+    """Any 32-bit [C, R, L] plane -> two exact-f32 u16-half planes."""
+    u = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    return ((u >> 16).astype(jnp.float32),
+            (u & jnp.uint32(0xFFFF)).astype(jnp.float32))
+
+
+def _mx_merge(hi, lo, dtype):
+    u = ((hi.astype(jnp.uint32) << 16)
+         | lo.astype(jnp.uint32))
+    return jax.lax.bitcast_convert_type(u, dtype)
+
+
+def _mx_rows_split(a, E):
+    """f32 [C, R, L] (R % block == 0) -> (even rows, odd rows)."""
+    C, R, L = a.shape
+    blk = E.shape[0]
+    b = a.reshape(C, R // blk, blk, L)
+    o = jnp.einsum("crkl,kh->crhl", b, E, precision=_HI)
+    return (o[:, :, :blk // 2].reshape(C, R // 2, L),
+            o[:, :, blk // 2:].reshape(C, R // 2, L))
+
+
+def _mx_cols_split(a, E):
+    """f32 [C, R, L] (L % block == 0) -> (even cols, odd cols)."""
+    C, R, L = a.shape
+    blk = E.shape[0]
+    b = a.reshape(C, R, L // blk, blk)
+    o = jnp.einsum("crbk,kh->crbh", b, E, precision=_HI)
+    return (o[..., :blk // 2].reshape(C, R, L // 2),
+            o[..., blk // 2:].reshape(C, R, L // 2))
+
+
+def _mx_rows_join(e, o, E):
+    """Inverse of _mx_rows_split (exact: one-hot rows of E^T)."""
+    C, R2, L = e.shape
+    h = E.shape[0] // 2
+    both = jnp.concatenate(
+        [e.reshape(C, R2 // h, h, L), o.reshape(C, R2 // h, h, L)],
+        axis=2)
+    out = jnp.einsum("crhl,kh->crkl", both, E, precision=_HI)
+    return out.reshape(C, R2 * 2, L)
+
+
+def _mx_cols_join(e, o, E):
+    C, R, L2 = e.shape
+    h = E.shape[0] // 2
+    both = jnp.concatenate(
+        [e.reshape(C, R, L2 // h, h), o.reshape(C, R, L2 // h, h)],
+        axis=-1)
+    out = jnp.einsum("crbh,kh->crbk", both, E, precision=_HI)
+    return out.reshape(C, R, L2 * 2)
+
+
+def _mx_decompose(a, TY: int, TX: int, fill, Ey, Ex):
+    """Full [C, >=TY, TX] -> {(row parity, col parity): [C, TYp/2, TXp/2]}
+    via u16-split one-hot matmuls; pad rows/cols hold ``fill``."""
+    TYp, TXp, _, _ = _mx_geometry(TY, TX)
+    a = a[:, :TY]
+    a = jnp.pad(a, ((0, 0), (0, TYp - TY), (0, TXp - TX)),
+                constant_values=fill)
+    subs = {}
+    for half in _mx_split(a):
+        r0, r1 = _mx_rows_split(half, Ey)
+        for pa, rows in ((0, r0), (1, r1)):
+            c0, c1 = _mx_cols_split(rows, Ex)
+            for pb, sub in ((0, c0), (1, c1)):
+                subs.setdefault((pa, pb), []).append(sub)
+    return {p: _mx_merge(hi, lo, a.dtype) for p, (hi, lo) in subs.items()}
+
+
+def _mx_recompose(subs, TY: int, TX: int, dtype, Ey, Ex):
+    """Inverse of _mx_decompose -> [C, TY, TX]."""
+    halves = []
+    for idx in range(2):
+        parts = {p: _mx_split(subs[p])[idx] for p in _PARS}
+        rows = [_mx_cols_join(parts[(pa, 0)], parts[(pa, 1)], Ex)
+                for pa in (0, 1)]
+        halves.append(_mx_rows_join(rows[0], rows[1], Ey))
+    return _mx_merge(halves[0], halves[1], dtype)[:, :TY, :TX]
+
+
+def gs_solve_pallas_mx(state: TileState, config: SimConfig) -> TileState:
+    """Color-decomposed GS solve with matmul relayouts: rank once in full
+    space, decompose via one-hot MXU matmuls, per color run the same
+    fused resolve+sweep and apply kernels as the "dec" layout on the
+    color's sub-grid, recompose.  Bit-matches gs_solve_pallas_flat / the
+    scalar model."""
+    t, TY, TX = tile_geometry(config)
+    cap = state.dims[0]
+    K = config.max_occupancy
+    _, _, DYp, DX = _mx_geometry(TY, TX)
+
+    # ---- rank (full space, identical to the flat/dec formulations) ----
+    pad = (-TY) % BAND
+    x, y, r, pid = state.x, state.y, state.radius, state.pid
+    if pad:
+        width = ((0, 0), (0, pad), (0, 0))
+        x = jnp.pad(x, width)
+        y = jnp.pad(y, width)
+        r = jnp.pad(r, width)
+        pid = jnp.pad(pid, width, constant_values=-1)
+    TYb = TY + pad
+    nb_full = TYb // BAND
+
+    def mid_full(i):
+        return (0, i, 0)
+
+    def spec3f(c):
+        def up(i):
+            return (0, jnp.maximum(i - 1, 0), 0)
+
+        def dn(i):
+            return (0, jnp.minimum(i + 1, nb_full - 1), 0)
+        return [pl.BlockSpec((c, BAND, TX), m, memory_space=pltpu.VMEM)
+                for m in (up, mid_full, dn)]
+
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
+                    jnp.float32(2.0)).reshape((1,))
+
+    src, rpid, rrad, count = pl.pallas_call(
+        partial(_rank_kernel, cap=cap, K=K, t=t),
+        grid=(nb_full,),
+        in_specs=[smem] + spec3f(cap) * 4,
+        out_specs=(pl.BlockSpec((K, BAND, TX), mid_full,
+                                memory_space=pltpu.VMEM),) * 3 + (
+            pl.BlockSpec((BAND, TX), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),),
+        out_shape=(_sds((K, TYb, TX), jnp.int32),
+                   _sds((K, TYb, TX), jnp.int32),
+                   _sds((K, TYb, TX), jnp.float32),
+                   _sds((TYb, TX), jnp.int32)),
+        compiler_params=vmem,
+        interpret=_interpret(),
+    )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
+    overflow = jnp.sum(jnp.maximum(count - K, 0))
+
+    # ---- decompose (rank pad rows already hold the fill values) ----
+    by, bx = _mx_blocks(TY, TX)
+    Ey, Ex = _mx_onehot(by), _mx_onehot(bx)
+    xs = _mx_decompose(state.x, TY, TX, 0.0, Ey, Ex)
+    ys = _mx_decompose(state.y, TY, TX, 0.0, Ey, Ex)
+    ps = _mx_decompose(state.pid, TY, TX, -1, Ey, Ex)
+    srcs = _mx_decompose(src, TY, TX, -1, Ey, Ex)
+    rpids = _mx_decompose(rpid, TY, TX, _BIGPID, Ey, Ex)
+    rrads = _mx_decompose(rrad, TY, TX, 0.0, Ey, Ex)
+
+    nb = DYp // BAND
+
+    def mid(i):
+        return (0, i, 0)
+
+    def spec3(c):
+        def up(i):
+            return (0, jnp.maximum(i - 1, 0), 0)
+
+        def dn(i):
+            return (0, jnp.minimum(i + 1, nb - 1), 0)
+        return [pl.BlockSpec((c, BAND, DX), m, memory_space=pltpu.VMEM)
+                for m in (up, mid, dn)]
+
+    def spec1(c):
+        return pl.BlockSpec((c, BAND, DX), mid, memory_space=pltpu.VMEM)
+
+    for color in (1, 2, 3, 4):
+        ac, bc = _mx_parity(color)
+        ux, uy = pl.pallas_call(
+            partial(_solve_dec_kernel, cap=cap, K=K, ac=ac, bc=bc,
+                    stiffness=config.stiffness),
+            grid=(nb,),
+            in_specs=([smem] + [s for p in _PARS for s in spec3(cap)]
+                      + [s for p in _PARS for s in spec3(cap)]
+                      + [spec1(K)] * 3),
+            out_specs=(spec1(K), spec1(K)),
+            out_shape=(_sds((K, DYp, DX), jnp.float32),
+                       _sds((K, DYp, DX), jnp.float32)),
+            compiler_params=vmem,
+            interpret=_interpret(),
+        )(one,
+          *[b for p in _PARS for b in (xs[p], xs[p], xs[p])],
+          *[b for p in _PARS for b in (ys[p], ys[p], ys[p])],
+          srcs[(ac, bc)], rpids[(ac, bc)], rrads[(ac, bc)])
+
+        new = pl.pallas_call(
+            partial(_apply_dec_kernel, cap=cap, K=K, ac=ac, bc=bc),
+            grid=(nb,),
+            in_specs=(spec3(K) + spec3(K) + spec3(K)
+                      + [spec1(cap)] * 12),
+            out_specs=tuple([spec1(cap)] * 8),
+            out_shape=tuple(_sds((cap, DYp, DX), jnp.float32)
+                            for _ in range(8)),
+            compiler_params=vmem,
+            interpret=_interpret(),
+        )(ux, ux, ux, uy, uy, uy,
+          rpids[(ac, bc)], rpids[(ac, bc)], rpids[(ac, bc)],
+          *[b for p in _PARS for b in (xs[p], ys[p], ps[p])])
+        for i, p in enumerate(_PARS):
+            xs[p] = new[2 * i]
+            ys[p] = new[2 * i + 1]
+
+    nx = _mx_recompose(xs, TY, TX, jnp.float32, Ey, Ex)
+    ny = _mx_recompose(ys, TY, TX, jnp.float32, Ey, Ex)
+    return dataclasses.replace(
+        state, x=nx, y=ny,
         overflow_count=state.overflow_count + overflow)

@@ -527,9 +527,15 @@ def _relocate_passes(relocate_fn, state: TileState,
 
 
 def tiled_step_fn(state: TileState, params: StepParams,
-                  config: SimConfig) -> TileState:
+                  config: SimConfig, do_relocate: bool = True) -> TileState:
     """Frame order mirrors State::update (state.rs:115-134): relocate
     (the grid-maintenance analog) -> solve -> integrate.
+
+    ``do_relocate=False`` skips the relocate phase (trace-time static) —
+    the engine's chunk scan passes it on the off-steps of
+    SimConfig.tiled_relocate_interval; positions stay exact, only tile
+    STORAGE goes stale within the hysteresis/drift bound (see the
+    interval field's doc in core/config.py).
 
     tiled_solver="gs" selects the Gauss-Seidel PARITY solver on tile
     storage (ops/gs_tiled.py / ops/gs_pallas.py): exact reference
@@ -582,8 +588,9 @@ def tiled_step_fn(state: TileState, params: StepParams,
     else:
         relocate_fn = relocate
 
-    with jax.named_scope("relocate"):
-        state = _relocate_passes(relocate_fn, state, config)
+    if do_relocate:
+        with jax.named_scope("relocate"):
+            state = _relocate_passes(relocate_fn, state, config)
     if use_pallas and config.tiled_fuse_integrate:
         from gpu_physics_engine_tpu.ops.tiled_pallas import (
             collide_integrate_pallas)

@@ -84,6 +84,9 @@ def init_sharded_tiles(config: SimConfig, mesh: Mesh, positions, radii
 
 
 def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh):
+    assert config.tiled_relocate_interval == 1, (
+        "the sharded tiled path relocates every step; "
+        "tiled_relocate_interval > 1 is single-chip only")
     axis = config.mesh_axis
     n = mesh.devices.size
     t, TYp, TX, rows = sharded_tile_geometry(config, n)
@@ -409,14 +412,27 @@ class ShardedTiledEngine:
         # TiledEngine: the tunneled runtime costs ~5.7 ms per dispatched
         # program, which would dominate the multi-chip step otherwise);
         # per-chip deferral counts are summed across the chunk.
-        def _chunk_fn(state, p):
-            def body(s, _):
-                s, drops = step_fn(s, p)
-                return s, drops
-            state, drops = jax.lax.scan(
-                body, state, None, length=self.CHUNK)
-            return state, drops.sum(axis=0)
-        self._chunk = jax.jit(_chunk_fn, donate_argnums=0)
+        self._chunks = {}
+
+        def _chunk_of(k: int):
+            # compiled per distinct scan length: remainder windows get a
+            # scanned program instead of per-step dispatch (same
+            # treatment as TiledEngine.run)
+            if k not in self._chunks:
+                def _chunk_fn(state, p):
+                    def body(s, _):
+                        s, drops = step_fn(s, p)
+                        return s, drops
+                    state, drops = jax.lax.scan(
+                        body, state, None, length=k)
+                    return state, drops.sum(axis=0)
+                self._chunks[k] = jax.jit(_chunk_fn, donate_argnums=0)
+            return self._chunks[k]
+        self._chunk_of = _chunk_of
+        self._chunk = _chunk_of(self.CHUNK)
+        # remainder windows target the tunneled TPU runtime; on CPU each
+        # distinct length is a fresh slow compile (see TiledEngine)
+        self._scan_remainders = jax.default_backend() == "tpu"
         self._step = _step
         self._insert = make_sharded_insert(config, self.mesh)
         self._next_pid = n
@@ -452,9 +468,13 @@ class ShardedTiledEngine:
         p = self.params()
         done = 0
         while done < n_steps:
-            if n_steps - done >= self.CHUNK:
+            bound = n_steps - done
+            if bound >= self.CHUNK:
                 self.state, drops = self._chunk(self.state, p)
                 took = self.CHUNK
+            elif bound > 1 and self._scan_remainders:
+                self.state, drops = self._chunk_of(bound)(self.state, p)
+                took = bound
             else:
                 self.state, drops = self._step(self.state, p)
                 took = 1

@@ -50,19 +50,22 @@ def _smoothstep(e0, e1, x):
 
 
 def _velocity_rgb(vx, vy):
-    """Exact reference ramp: blue -> pink -> yellow (wgsl:39-67)."""
+    """Exact reference ramp: blue -> pink -> yellow (wgsl:39-67).
+
+    Returns three SEPARATE planes (r, g, b), never a [..., 3] array: a
+    size-3 minor axis wastes 125/128 of every vector register on TPU —
+    carrying channels as planes is what took the 4M composite from
+    ~80 ms to ~3 ms."""
     speed = jnp.sqrt(vx * vx + vy * vy)
     t = jnp.clip(speed / MAX_VELOCITY, 0.0, 1.0)
     s1 = _smoothstep(0.0, 0.5, t)
     s2 = _smoothstep(0.5, 1.0, t)
-    low = jnp.stack([jnp.zeros_like(t), jnp.zeros_like(t),
-                     jnp.ones_like(t)], -1)
-    mid = jnp.stack([jnp.ones_like(t), jnp.full_like(t, 0.5),
-                     jnp.ones_like(t)], -1)
-    high = jnp.stack([jnp.ones_like(t), jnp.ones_like(t),
-                      jnp.zeros_like(t)], -1)
-    c = low * (1.0 - s1[..., None]) + mid * s1[..., None]
-    return c * (1.0 - s2[..., None]) + high * s2[..., None]
+    # lerp(lerp(low, mid, s1), high, s2) per channel:
+    # low = (0, 0, 1), mid = (1, 0.5, 1), high = (1, 1, 0)
+    r = s1 * (1.0 - s2) + s2
+    g = 0.5 * s1 * (1.0 - s2) + s2
+    b = (1.0 - s2)
+    return r, g, b
 
 
 def _bilinear_weights(out_px: int, x0, x1, centers):
@@ -100,17 +103,31 @@ def _render_core(x, y, px, py, radius, pid, rect, config: SimConfig,
     amax = jnp.max(alpha, axis=0)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == best[None])
     take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=0)
-    rgb = _velocity_rgb(take(x - px), take(y - py))       # [TY, TX, 3]
-    tile_img = rgb * amax[..., None]                      # over black clear
+    # channels stay as separate [TY, TX] planes throughout (see
+    # _velocity_rgb: a [..., 3] layout wastes 125/128 of every vreg)
+    planes = [c * amax for c in
+              _velocity_rgb(take(x - px), take(y - py))]  # over black clear
 
-    # --- 2. resample to the viewport (two MXU matmuls) ---
+    # --- 2. resample to the viewport (two MXU matmuls per plane) ---
+    # plain 2D dots on [TY, TX] planes: an einsum carrying the channel
+    # axis lowers to strided reductions that never tile onto the MXU
+    # (measured ~80 ms/frame at 4M vs ~matmul speed here).  bf16
+    # operands double MXU throughput; f32 accumulation keeps the 8-bit
+    # output exact to the eye.
     x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
     col_centers = (jnp.arange(TX, dtype=jnp.float32) - 0.5) * tf
     row_centers = (jnp.arange(TY, dtype=jnp.float32) - 0.5) * tf
-    wx = _bilinear_weights(width, x0, x1, col_centers)    # [W, TX]
-    wy = _bilinear_weights(height, y0, y1, row_centers)   # [H, TY]
-    out = jnp.einsum("yxc,wx->ywc", tile_img, wx)
-    out = jnp.einsum("ywc,hy->hwc", out, wy)
+    bf = jnp.bfloat16
+    wxT = _bilinear_weights(width, x0, x1, col_centers).T.astype(bf)
+    wy = _bilinear_weights(height, y0, y1, row_centers).astype(bf)
+
+    def resample(p):  # [TY, TX] -> [H, W]
+        o = jax.lax.dot(p.astype(bf), wxT,
+                        preferred_element_type=jnp.float32)   # [TY, W]
+        return jax.lax.dot(wy, o.astype(bf),
+                           preferred_element_type=jnp.float32)  # [H, W]
+
+    out = jnp.stack([resample(p) for p in planes], axis=-1)  # [H, W, 3]
     out = out[::-1]  # world y-up -> image y-down
     return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
@@ -124,6 +141,48 @@ def autofit_rect(config: SimConfig, width: int, height: int,
     vw, vh = width / zoom, height / zoom
     cx, cy = ww / 2.0, wh / 2.0
     return (cx - vw / 2.0, cy - vh / 2.0, cx + vw / 2.0, cy + vh / 2.0)
+
+
+@partial(jax.jit, static_argnames=("config", "width", "height"))
+def _render_window(x, y, px, py, radius, pid, rects, config: SimConfig,
+                   width: int, height: int):
+    """``len(rects)`` frames scanned inside ONE program -> u8 checksum.
+
+    The honest device-side frame-cost measurement on tunneled runtimes
+    (DESIGN.md §6): timing per-dispatch frames measures the tunnel
+    (~5-10 ms/program + ~43 ms per 2.7 MB download), not the chip —
+    measured 97 ms/frame dispatched vs 1.9 ms/frame scanned at the 4M
+    geometry.  Same methodology as the sim's scanned step windows."""
+    def body(c, rect):
+        # the rect[0]*0 dependency keeps the composite stage inside the
+        # scan (XLA would hoist the loop-invariant stage out otherwise
+        # and the window would time the resample alone)
+        img = _render_core(x + rect[0] * 0.0, y, px, py, radius, pid,
+                           rect, config, width, height)
+        return c + img[0, 0, 0].astype(jnp.int32), None
+    return jax.lax.scan(body, jnp.int32(0), rects)[0]
+
+
+def render_throughput_ms(state: TileState, config: SimConfig,
+                         frames: int = 16, width: int = 1280,
+                         height: int = 720) -> float:
+    """Median device-side ms/frame over a scanned ``frames``-deep window
+    (fetch-synced; see _render_window for why dispatched-frame timing is
+    not meaningful over the TPU tunnel)."""
+    import time
+    rect = np.asarray(autofit_rect(config, width, height), np.float32)
+    rects = jnp.asarray(
+        np.tile(rect, (frames, 1))
+        + np.arange(frames, dtype=np.float32)[:, None] * 1e-3)
+    args = (state.x, state.y, state.px, state.py, state.radius, state.pid)
+    int(_render_window(*args, rects, config, width, height))  # compile
+    best = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = _render_window(*args, rects, config, width, height)
+        int(c)  # fetch = device sync
+        best.append((time.perf_counter() - t0) / frames * 1e3)
+    return sorted(best)[1]
 
 
 def render_tiles_device(state: TileState, config: SimConfig,

@@ -123,3 +123,28 @@ def test_couple_bigs_noop_without_contact():
     tiles2, big2 = bigs_ops.couple_bigs(eng.state, big, cfg)
     np.testing.assert_array_equal(np.asarray(tiles2.x), np.asarray(eng.state.x))
     np.testing.assert_array_equal(np.asarray(big2.x), np.asarray(big.x))
+
+
+def test_overlay_respects_relocate_interval():
+    """tiled_relocate_interval with an active overlay: off-steps skip the
+    tile relocate (hybrid_step_fn forwards do_relocate), every particle
+    survives, physics stays finite, and the coupling window reach covers
+    the interval's extra drift reserve."""
+    kw = dict(tiled_relocate="pallas", tiled_match="flip",
+              gravity=(0.0, -30.0), tiled_relocate_interval=2)
+    eng = TiledEngine(_cfg(**kw), seed=5, chunk=8)
+    eng.spawn_at((32.0, 32.0), count=10, verbose=False)
+    assert eng.big is not None
+    n0 = eng.num_particles()
+    eng.run(12)          # one full chunk + a 4-step remainder window
+    eng.step()           # on-phase single step (steps_done 12, even)
+    eng.step()           # off-phase single step (steps_done 13, odd)
+    assert eng.num_particles() == n0
+    assert np.isfinite(eng.positions()).all()
+    cfg = eng.config
+    t, TY, TX = tiled.tile_geometry(cfg)
+    W = bigs_ops.window_halfwidth(cfg)
+    reach = (cfg.spawn_radius_max + cfg.tile_max_radius_effective
+             + cfg.hysteresis_delta
+             + (cfg.tiled_relocate_interval - 1) * cfg.drift_budget)
+    assert W * t >= reach or W == (min(TY, TX) - 1) // 2

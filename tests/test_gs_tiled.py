@@ -9,6 +9,7 @@ layout (persistent tiles instead of a sorted pair array).
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 import reference_model as model
 from gpu_physics_engine_tpu import SimConfig
@@ -101,6 +102,93 @@ def test_gs_pallas_bitmatches_model_and_jnp():
     got = p[np.argsort(pid)]
     want = _model_positions(pos, radii, cell_size=1.1, K=6)
     np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+# odd/even interior-dimension mix for the layout-parity tests (12.0/1.1
+# -> TX 13 odd, TY 10 even; 11.3/7.7 -> 13 x 9 both odd)
+_LAYOUT_SCENES = ((0, (12.0, 8.0)), (4, (11.3, 7.7)))
+
+
+def test_gs_pallas_decomposed_bitmatches_flat():
+    """The 2x2 color-decomposed kernels (gs_layout='dec') reproduce the
+    flat masked formulation bit-for-bit — same op order on a 4x smaller
+    per-color grid — including odd interior dimensions (TYi/TXi parity
+    padding) and the occupancy clamp."""
+    from gpu_physics_engine_tpu.ops.gs_pallas import (
+        gs_solve_pallas_dec, gs_solve_pallas_flat)
+
+    # small cap/K/world on purpose: interpret-mode kernel graphs grow
+    # with K*36*cap (unrolled selects) x grid blocks, and CPU XLA
+    # compile time is superlinear in op count — the 220-particle
+    # cap8/K6 version of this test compiled for 45 MINUTES on a 1-core
+    # box.  Layout equivalence doesn't need big slot counts; odd/even
+    # interior dims are what matter (parity padding).
+    for seed, (w, h) in _LAYOUT_SCENES:
+        pos, radii = _scene(120, seed, w=w, h=h)
+        cfg = _tile_cfg(120, w=w, h=h, cap=4, K=4)
+        st = tiled.init_tiles(cfg, pos, radii)
+        out_d = jax.jit(lambda s: gs_solve_pallas_dec(s, cfg))(st)
+        out_f = jax.jit(lambda s: gs_solve_pallas_flat(s, cfg))(st)
+        np.testing.assert_array_equal(np.asarray(out_d.x),
+                                      np.asarray(out_f.x))
+        np.testing.assert_array_equal(np.asarray(out_d.y),
+                                      np.asarray(out_f.y))
+        assert (int(out_d.overflow_count) == int(out_f.overflow_count))
+
+
+def test_mx_relayout_roundtrip_bit_faithful():
+    """The one-hot-matmul relayout of gs_layout='mx' is bit-faithful for
+    ANY 32-bit payload (u16-half splitting never relies on matmul
+    internals): decompose matches numpy parity slicing and the
+    round-trip reproduces input bits exactly — NaN payloads included."""
+    from gpu_physics_engine_tpu.ops.gs_pallas import (
+        _PARS, _mx_blocks, _mx_decompose, _mx_geometry, _mx_onehot,
+        _mx_recompose)
+
+    rng = np.random.default_rng(0)
+    for TY, TX, C, dtype, fill in [(37, 300, 3, np.float32, 0.0),
+                                   (256, 256, 2, np.int32, -1)]:
+        if dtype == np.float32:
+            a = rng.standard_normal((C, TY, TX)).astype(np.float32) * 1e3
+            a[0, 0, 0] = np.float32(np.nan)
+        else:
+            a = rng.integers(-1, 2**31 - 1, (C, TY, TX), dtype=np.int32)
+        by, bx = _mx_blocks(TY, TX)
+        Ey, Ex = _mx_onehot(by), _mx_onehot(bx)
+        subs = _mx_decompose(jnp.asarray(a), TY, TX, fill, Ey, Ex)
+        TYp, TXp, _, _ = _mx_geometry(TY, TX)
+        ap = np.full((C, TYp, TXp), fill, dtype)
+        ap[:, :TY, :TX] = a
+        for (pa, pb) in _PARS:
+            np.testing.assert_array_equal(
+                np.asarray(subs[(pa, pb)]).view(np.uint32),
+                ap[:, pa::2, pb::2].view(np.uint32))
+        back = np.asarray(_mx_recompose(subs, TY, TX, jnp.dtype(dtype),
+                                        Ey, Ex))
+        np.testing.assert_array_equal(back.view(np.uint32),
+                                      a.view(np.uint32))
+
+
+def test_gs_pallas_mx_bitmatches_flat():
+    """gs_layout='mx' (decomposed kernels + matmul relayouts, no border
+    ring — the full grid's own pad tiles play the fill role) reproduces
+    the flat formulation bit-for-bit, odd dimensions included."""
+    from gpu_physics_engine_tpu.ops.gs_pallas import (
+        gs_solve_pallas_flat, gs_solve_pallas_mx)
+
+    # small cap/K/world for compile cost — see the dec test above; the
+    # flat jits are shared with it through the compilation cache
+    for seed, (w, h) in _LAYOUT_SCENES:
+        pos, radii = _scene(120, seed, w=w, h=h)
+        cfg = _tile_cfg(120, w=w, h=h, cap=4, K=4)
+        st = tiled.init_tiles(cfg, pos, radii)
+        out_m = jax.jit(lambda s: gs_solve_pallas_mx(s, cfg))(st)
+        out_f = jax.jit(lambda s: gs_solve_pallas_flat(s, cfg))(st)
+        np.testing.assert_array_equal(np.asarray(out_m.x),
+                                      np.asarray(out_f.x))
+        np.testing.assert_array_equal(np.asarray(out_m.y),
+                                      np.asarray(out_f.y))
+        assert (int(out_m.overflow_count) == int(out_f.overflow_count))
 
 
 def test_gs_engine_matches_array_colored_engine():

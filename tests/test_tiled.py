@@ -410,8 +410,14 @@ def test_init_spills_overflow_to_nearby_tiles():
 def test_pull_relocate_deferral_settles_in_dense_scene():
     """The physics-quality signal: after the initial transient, the
     per-step deferral rate drops well below the early peak."""
+    # tiled_match pinned to "flip": auto would pick greedy here, whose
+    # 8*cap^2 unrolled matching (512 rounds at cap 8) inside the full
+    # interpret-mode step costs ~45 min of CPU XLA compile on a small
+    # box; the deferral-settling signal is matching-agnostic, and greedy
+    # has its own (small-cap) tests below.
     cfg = _cfg(initial_particles=400, tile_cap=8, substeps=1,
-               tiled_relocate="pallas", tiled_collide="jnp")
+               tiled_relocate="pallas", tiled_collide="jnp",
+               tiled_match="flip")
     eng = TiledEngine(cfg, seed=5)
     deltas = []
     prev = int(eng.state.overflow_count)
@@ -513,7 +519,8 @@ def test_second_relocate_pass_takes_same_step_vacated_slots():
 
 
 def test_greedy_relocate_conserves_in_dense_scene():
-    cfg = _cfg(initial_particles=200, tile_cap=6, tiled_collide="jnp",
+    # cap 4 keeps the greedy unroll (8*cap^2 rounds) compile-friendly
+    cfg = _cfg(initial_particles=200, tile_cap=4, tiled_collide="jnp",
                tiled_relocate="pallas", tiled_match="greedy")
     eng = TiledEngine(cfg, seed=9)
     eng.run(30)
@@ -542,3 +549,41 @@ def test_single_kernel_relocate_matches_two_pass():
                                       np.asarray(getattr(b, name)),
                                       err_msg=name)
     assert int(a.overflow_count) == int(b.overflow_count)
+
+
+def test_relocate_interval_tracks_every_step_physics():
+    """tiled_relocate_interval=2: relocation is skipped on off-steps, so
+    storage goes (boundedly) stale, but positions stay physically
+    equivalent to the every-step engine — relocation moves storage, not
+    particles.  Trajectories only drift through summation-order changes
+    in the sweep, so a moderate window must agree to float tolerance,
+    conserve every particle, and stay finite."""
+    kw = dict(initial_particles=220, tile_cap=8, tiled_collide="jnp",
+              tiled_relocate="pallas", tiled_match="flip",
+              gravity=(0.0, -30.0), sort_interval_steps=0)
+    e1 = TiledEngine(_cfg(**kw), seed=3, chunk=8)
+    e2 = TiledEngine(_cfg(tiled_relocate_interval=2, **kw), seed=3, chunk=8)
+    e1.run(32)
+    e2.run(32)
+    p1, x1, _, _ = tiled.export_particles(e1.state)
+    p2, x2, _, _ = tiled.export_particles(e2.state)
+    assert len(p1) == len(p2) == 220
+    np.testing.assert_array_equal(p1, p2)
+    assert np.isfinite(x2).all()
+    # same pair sets within the staleness bound -> same physics modulo
+    # float summation order; positions must agree closely
+    np.testing.assert_allclose(x1, x2, atol=2e-3)
+
+
+def test_relocate_interval_reserves_hysteresis_margin():
+    """The auto hysteresis shrinks by (interval-1)*drift_budget so the
+    pair-set bound keeps holding; gs + interval>1 is rejected."""
+    base = _cfg()
+    iv2 = _cfg(tiled_relocate_interval=2)
+    assert iv2.hysteresis_delta < base.hysteresis_delta
+    t = base.tile_multiplier * base.tile_max_radius_effective
+    r = base.tile_max_radius_effective
+    assert (2.0 * (iv2.hysteresis_delta + iv2.drift_budget) + 2.0 * r
+            <= t + 1e-6)
+    with pytest.raises(AssertionError):
+        _cfg(tiled_solver="gs", tiled_relocate_interval=2)
