@@ -166,6 +166,13 @@ class SimConfig:
     # cheaper but its XLA stride-2 relayouts cost ~130 ms @1M (PERF.md);
     # "mx" removes that tax — flipped to auto once hardware-verified.
     gs_layout: str = "auto"
+    # device-render sampling: S x S sample points per tile
+    # (render/device.py).  1 = one sample per tile — the production
+    # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover
+    # sub-tile particle positioning when zoomed in (composite cost grows
+    # with S^2).  Splat radius is clamped to cover the sample cell, so
+    # no particle is ever dropped at any S (point-sprite minimum).
+    render_supersample: int = 1
     # fuse Verlet integration into the Pallas collide kernel (one band
     # read/write per substep instead of a separate XLA integrate pass)
     tiled_fuse_integrate: bool = True
@@ -216,6 +223,7 @@ class SimConfig:
                     and self.tiled_relocate_interval > 1), (
             "the GS parity solver requires storage == home every step")
         assert self.gs_layout in ("auto", "dec", "flat", "mx")
+        assert 1 <= self.render_supersample <= 4
         assert self.world_shape in ("box", "circle")
         assert self.max_cells_per_object == 4, "2D: home + 3 phantom cells"
 

@@ -78,6 +78,16 @@ class Camera:
         return (self.position[0] + ndc_x * half_w,
                 self.position[1] + ndc_y * half_h)
 
+    def world_rect(self):
+        """Visible world-space rect (x0, y0, x1, y1) — the device
+        renderer's viewport convention (render/device.py)."""
+        half_w = self.screen_size[0] / (2.0 * self.zoom)
+        half_h = self.screen_size[1] / (2.0 * self.zoom)
+        return (float(self.position[0] - half_w),
+                float(self.position[1] - half_h),
+                float(self.position[0] + half_w),
+                float(self.position[1] + half_h))
+
     def world_to_screen(self, world_xy: np.ndarray) -> np.ndarray:
         """[N, 2] world coords -> float pixel coords (top-left origin)."""
         p = (np.asarray(world_xy, np.float64) - self.position) * self.zoom

@@ -68,14 +68,18 @@ def _velocity_rgb(vx, vy):
     return r, g, b
 
 
-def _bilinear_weights(out_px: int, x0, x1, centers):
+def _bilinear_weights(out_px: int, x0, x1, centers, normalize: bool = True):
     """[out_px, n_src] bilinear weights: output pixel centers sampled over
-    source sample centers (both in world units), rows normalized."""
+    source sample centers (both in world units).  ``normalize=False``
+    returns raw tent weights — callers summing several sample grids
+    normalize once at the end (separable row-sum outer product)."""
     n = centers.shape[0]
     spacing = jnp.maximum(centers[1] - centers[0], 1e-6)
     ox = x0 + (jnp.arange(out_px, dtype=jnp.float32) + 0.5) / out_px * (x1 - x0)
     d = jnp.abs(ox[:, None] - centers[None, :]) / spacing
     w = jnp.maximum(0.0, 1.0 - d)
+    if not normalize:
+        return w
     return w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-6)
 
 
@@ -84,50 +88,84 @@ def _render_core(x, y, px, py, radius, pid, rect, config: SimConfig,
                  width: int, height: int):
     t, TY, TX = tile_geometry(config)
     tf = jnp.float32(t)
+    S = config.render_supersample
+    spacing = t / S
 
-    # --- 1. composite: per-tile brightest-wins soft dot ---
+    # --- 1. composite: per-sample brightest-wins soft dot ---
+    # Each tile is sampled at S x S points (render_supersample); a
+    # particle's splat radius is clamped to cover its nearest sample
+    # (0.75 x spacing >= the half-diagonal) — the point-sprite minimum:
+    # a particle smaller than the sample cell still lights its sample,
+    # exactly like the host rasterizer's 1-px-minimum splat.  At the 4M
+    # production geometry (tile ~ output pixel) S=1 reproduces the
+    # reference's look; S>1 recovers sub-tile positioning when zoomed.
     ty = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     tx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-    cx = (tx.astype(jnp.float32) - 0.5) * tf  # border offset: tile 1 spans [0, t)
-    cy = (ty.astype(jnp.float32) - 0.5) * tf
     occ = pid >= 0
-    dx = x - cx
-    dy = y - cy
-    r2 = jnp.maximum(4.0 * radius * radius, 1e-8)  # quad spans 2r (wgsl:30)
-    alpha = 1.0 - _smoothstep(0.2304, 0.25, (dx * dx + dy * dy) / r2)
-    alpha = jnp.where(occ, alpha, 0.0)
-    # brightest slot wins the tile (deterministic: first max in slot order);
-    # one-hot masked reductions instead of take_along_axis — gathers are
-    # ~1 GB/s on TPU, reductions are bandwidth-speed
-    best = jnp.argmax(alpha, axis=0)                      # [TY, TX]
-    amax = jnp.max(alpha, axis=0)
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == best[None])
-    take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=0)
-    # channels stay as separate [TY, TX] planes throughout (see
-    # _velocity_rgb: a [..., 3] layout wastes 125/128 of every vreg)
-    planes = [c * amax for c in
-              _velocity_rgb(take(x - px), take(y - py))]  # over black clear
+    # effective quad span: 2r, or 1.5 x sample spacing if bigger
+    span = jnp.maximum(2.0 * radius, jnp.float32(1.5 * spacing))
+    r2 = jnp.maximum(span * span, 1e-8)  # quad spans 2r (wgsl:30)
+
+    def sample_planes(i: int, j: int):
+        """Brightest-wins composite at subsample (i, j) -> r/g/b planes."""
+        cx = (tx.astype(jnp.float32) - 1.0 + (j + 0.5) / S) * tf
+        cy = (ty.astype(jnp.float32) - 1.0 + (i + 0.5) / S) * tf
+        dx = x - cx
+        dy = y - cy
+        alpha = 1.0 - _smoothstep(0.2304, 0.25, (dx * dx + dy * dy) / r2)
+        alpha = jnp.where(occ, alpha, 0.0)
+        # brightest slot wins (deterministic: first max in slot order);
+        # one-hot masked reductions instead of take_along_axis — gathers
+        # are ~1 GB/s on TPU, reductions are bandwidth-speed
+        best = jnp.argmax(alpha, axis=0)                  # [TY, TX]
+        amax = jnp.max(alpha, axis=0)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+                  == best[None])
+        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=0)
+        # channels stay as separate [TY, TX] planes throughout (see
+        # _velocity_rgb: a [..., 3] layout wastes 125/128 of every vreg)
+        return [c * amax for c in
+                _velocity_rgb(take(x - px), take(y - py))]  # over black
 
     # --- 2. resample to the viewport (two MXU matmuls per plane) ---
     # plain 2D dots on [TY, TX] planes: an einsum carrying the channel
     # axis lowers to strided reductions that never tile onto the MXU
     # (measured ~80 ms/frame at 4M vs ~matmul speed here).  bf16
     # operands double MXU throughput; f32 accumulation keeps the 8-bit
-    # output exact to the eye.
+    # output exact to the eye.  Sub-sample grids are never interleaved
+    # into one fine image (strided relayouts are gather-class on TPU):
+    # resampling is linear, so each subsample's plane is resampled with
+    # its own weight rows and SUMMED, with one separable normalization
+    # (row-sum outer product) at the end — identical to normalized
+    # bilinear interpolation over the union of all S^2 sample grids.
     x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
-    col_centers = (jnp.arange(TX, dtype=jnp.float32) - 0.5) * tf
-    row_centers = (jnp.arange(TY, dtype=jnp.float32) - 0.5) * tf
     bf = jnp.bfloat16
-    wxT = _bilinear_weights(width, x0, x1, col_centers).T.astype(bf)
-    wy = _bilinear_weights(height, y0, y1, row_centers).astype(bf)
+    acc = [jnp.zeros((height, width), jnp.float32) for _ in range(3)]
+    ny = jnp.zeros((height,), jnp.float32)
+    nx = jnp.zeros((width,), jnp.float32)
+    base = jnp.arange(TX, dtype=jnp.float32)
+    basey = jnp.arange(TY, dtype=jnp.float32)
+    for i in range(S):
+        row_centers = (basey - 1.0 + (i + 0.5) / S) * tf
+        wy = _bilinear_weights(height, y0, y1, row_centers, normalize=False)
+        ny = ny + wy.sum(axis=1)
+        wyb = wy.astype(bf)
+        for j in range(S):
+            col_centers = (base - 1.0 + (j + 0.5) / S) * tf
+            wx = _bilinear_weights(width, x0, x1, col_centers,
+                                   normalize=False)
+            if i == 0:
+                nx = nx + wx.sum(axis=1)
+            wxT = wx.T.astype(bf)
+            for c, p in enumerate(sample_planes(i, j)):
+                o = jax.lax.dot(p.astype(bf), wxT,
+                                preferred_element_type=jnp.float32)
+                acc[c] = acc[c] + jax.lax.dot(
+                    wy.astype(bf), o.astype(bf),
+                    preferred_element_type=jnp.float32)
 
-    def resample(p):  # [TY, TX] -> [H, W]
-        o = jax.lax.dot(p.astype(bf), wxT,
-                        preferred_element_type=jnp.float32)   # [TY, W]
-        return jax.lax.dot(wy, o.astype(bf),
-                           preferred_element_type=jnp.float32)  # [H, W]
-
-    out = jnp.stack([resample(p) for p in planes], axis=-1)  # [H, W, 3]
+    norm = jnp.maximum(ny[:, None] * nx[None, :], 1e-6)
+    out = jnp.stack([a / norm for a in acc], axis=-1)     # [H, W, 3]
     out = out[::-1]  # world y-up -> image y-down
     return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 

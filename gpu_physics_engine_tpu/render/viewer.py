@@ -66,8 +66,36 @@ class Viewer:
             rasterizer.splat(frame, screen[:, 0], screen[:, 1], sr, rgb)
         return frame
 
-    def render_engine(self, engine) -> np.ndarray:
-        """Pull state off the device and render it (display-cadence download)."""
+    def render_engine(self, engine,
+                      prefer_device: Optional[bool] = None) -> np.ndarray:
+        """One frame from the engine.
+
+        Engines that render on-chip (TiledEngine.render_frame) composite
+        the velocity colormap on the device and download only the
+        finished 2.7 MB image — the production display path at 1M+
+        (the host splatter costs ~150 ms @1M / ~2 s @4M, PERF.md);
+        grid lines are drawn over the downloaded frame on the host.
+        Other engines use the host splatter fed by device arrays
+        (the reference split, renderer.rs:27-75)."""
+        use_device = (prefer_device if prefer_device is not None
+                      else hasattr(engine, "render_frame"))
+        if use_device:
+            w, h = self.screen_size
+            frame = np.asarray(
+                engine.render_frame(rect=self.camera.world_rect(),
+                                    width=w, height=h),
+                np.float32) / 255.0
+            cell = engine.cell_size()
+            if self.draw_grid and cell:
+                a, b, hz = lines.grid_line_segments(self.world_size, cell)
+                sa = self.camera.world_to_screen(a)
+                sb = self.camera.world_to_screen(b)
+                lo = np.minimum(sa, sb)
+                hi = np.maximum(sa, sb)
+                rgb = np.tile(np.asarray(lines.GRID_COLOR, np.float32),
+                              (len(a), 1))
+                rasterizer.draw_axis_lines(frame, lo, hi, rgb, hz)
+            return frame
         return self.render(engine.positions(), engine.previous_positions(),
                            engine.radii(), engine.cell_size())
 

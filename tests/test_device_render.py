@@ -93,3 +93,35 @@ def test_engine_render_frame_end_to_end():
     img = eng.render_frame(width=160, height=90)
     assert img.shape == (90, 160, 3) and img.dtype == np.uint8
     assert img.max() > 0  # something rendered
+
+
+def test_offcenter_sparse_particle_always_visible():
+    """A small particle far from its tile's sample point must still
+    render (point-sprite minimum: splat radius is clamped to the sample
+    cell).  The pre-clamp composite dropped it entirely — a sparse-scene
+    bug; at 4M production density every tile had a near-center particle,
+    which hid it."""
+    t = 2.2
+    true = np.array([[t * 1.5 + 1.0, t * 1.5 + 1.0]], np.float32)
+    eng, cfg = _engine(true, [0.3], prev=true)
+    rect = (0.0, 0.0, 44.0, 22.0)
+
+    def centroid_world(img):
+        m = img.max(axis=-1) > 0
+        ys, xs = np.nonzero(m)
+        assert len(xs), "particle dropped from the frame"
+        # 2 px per world unit, y flipped
+        return ((xs.mean() + 0.5) / 2.0, (44.0 - (ys.mean() + 0.5)) / 2.0)
+
+    img1 = render_tiles_device(eng.state, cfg, rect=rect,
+                               width=88, height=44)
+    c1 = centroid_world(img1)
+    # supersampled composite recovers sub-tile positioning
+    cfg2 = cfg.replace(render_supersample=2)
+    img2 = render_tiles_device(eng.state, cfg2, rect=rect,
+                               width=88, height=44)
+    c2 = centroid_world(img2)
+    err1 = np.hypot(c1[0] - true[0, 0], c1[1] - true[0, 1])
+    err2 = np.hypot(c2[0] - true[0, 0], c2[1] - true[0, 1])
+    assert err1 < t  # S=1: within one tile (sample quantization)
+    assert err2 < 0.75 * t  # S=2: strictly finer than tile quantization

@@ -160,3 +160,48 @@ def test_tilemap_renders_density_and_velocity():
     assert frame.shape == ((TY - 2) * 4, (TX - 2) * 4, 3)
     assert frame.dtype.name == "uint8"
     assert frame.max() > 0                     # something is visible
+
+
+def test_viewer_device_path_for_tiled_engine():
+    """render_engine on a TiledEngine takes the device-composited path
+    (engine.render_frame at the camera's world rect) and matches the
+    host splatter's framing: same shape, content present, grid overlay
+    drawable on top.  prefer_device=False forces the host path."""
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+
+    cfg = SimConfig(max_particles=512, initial_particles=256,
+                    world_width=64.0, world_height=64.0,
+                    initial_radius=0.5, pipeline="tiled", tile_cap=16,
+                    tiled_collide="jnp", sort_interval_steps=0)
+    eng = TiledEngine(cfg, seed=0)
+    eng.run(3)
+    viewer = Viewer((64.0, 64.0), (320, 240))
+    dev = viewer.render_engine(eng)
+    assert dev.shape == (240, 320, 3) and dev.dtype == np.float32
+    assert dev.max() > 0.0
+    host = viewer.render_engine(eng, prefer_device=False)
+    assert host.shape == dev.shape
+    # both framings put the same world in view.  The device composite
+    # lives on the ~31x31 TILE grid before the MXU resample — each splat
+    # is quantized to its tile's grid position (by design: at production
+    # scales tiles ~ pixels), here ~8 px — so compare occupancy at 8x8
+    # block granularity with 1 block of tolerance (dilation).
+    def blocks(f):
+        m = f.max(axis=-1) > 0.02
+        return m.reshape(30, 8, 40, 8).any(axis=(1, 3))
+
+    def dilate(m):
+        out = m.copy()
+        out[1:] |= m[:-1]
+        out[:-1] |= m[1:]
+        out[:, 1:] |= m[:, :-1]
+        out[:, :-1] |= m[:, 1:]
+        return out
+
+    bd, bh = blocks(dev), blocks(host)
+    assert (bh & dilate(bd)).sum() > 0.85 * bh.sum()
+    assert (bd & dilate(bh)).sum() > 0.85 * bd.sum()
+    viewer.toggle_grid()
+    grid = viewer.render_engine(eng)
+    assert grid.shape == dev.shape and grid.max() > 0.0
