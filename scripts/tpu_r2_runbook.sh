@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-2 post-relay TPU runbook: waits for the relay, then runs the
+# pending hardware work IN SEQUENCE (one TPU process at a time):
+#   1. tpu_sweep_iv2.py  — interval/cap refinement for the bench picks
+#   2. tpu_probe_gsmx.py — GS mx layout vs flat + raw-f32 exactness
+#   3. bench.py          — full 8-size curve with the (current) picks
+# Logs under /tmp; JSONL results under /tmp/tpu_*.jsonl + /tmp/bench_r2.json.
+#
+# Run: nohup bash scripts/tpu_r2_runbook.sh > /tmp/runbook.log 2>&1 &
+
+set -u
+cd /root/repo
+export JAX_PLATFORMS=axon
+export PYTHONPATH="/root/repo:${PYTHONPATH:-}:/root/.axon_site"
+export JAX_COMPILATION_CACHE_DIR=/tmp/gpe_tpu_jax_cache
+
+echo "[runbook] waiting for relay on :8082..."
+while ! ss -tln 2>/dev/null | grep -q 8082; do sleep 60; done
+echo "[runbook] relay up at $(date)"
+
+# wait out any pre-existing TPU-attached python (one process at a time);
+# never kill it (wedges the remote runtime)
+while ps -eo pid,args | grep -E "python.*(tpu_sweep|tpu_probe|bench\.py)" \
+      | grep -v grep | grep -qv runbook; do
+  echo "[runbook] another TPU process is alive; waiting 120s"
+  sleep 120
+done
+
+# relay sanity ping: fetch one scalar with a bounded-work script
+# (timeout only here: a hung ping means the runtime is already wedged)
+timeout 300 python - <<'EOF'
+import time, jax, jax.numpy as jnp
+t0 = time.time()
+v = float(jnp.ones(8).sum())
+print(f"[runbook] ping ok ({v}) in {time.time()-t0:.1f}s", flush=True)
+EOF
+if [ $? -ne 0 ]; then echo "[runbook] ping FAILED; aborting"; exit 1; fi
+
+echo "[runbook] === 1/3 sweep_iv2 ==="
+python scripts/tpu_sweep_iv2.py > /tmp/sweep_iv2_rb.log 2>&1
+echo "[runbook] sweep_iv2 done rc=$?"
+
+echo "[runbook] === 2/3 probe_gsmx ==="
+python scripts/tpu_probe_gsmx.py > /tmp/probe_gsmx_rb.log 2>&1
+echo "[runbook] probe_gsmx done rc=$?"
+
+echo "[runbook] === 3/3 bench ==="
+python bench.py > /tmp/bench_r2.json 2>/tmp/bench_r2.err
+echo "[runbook] bench done rc=$?"
+tail -1 /tmp/bench_r2.json
+echo "[runbook] ALL DONE at $(date)"
