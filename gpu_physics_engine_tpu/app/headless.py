@@ -70,7 +70,41 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export chrome://tracing JSON (benchmark.json parity)")
     p.add_argument("--summary-json", action="store_true",
                    help="print a machine-readable summary line")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   dest="overrides",
+                   help="override any SimConfig field by name (repeatable), "
+                        "e.g. --set tile_cap=6 --set tile_multiplier=3.3 "
+                        "--set tiled_relocate_interval=2 --set gs_layout=mx; "
+                        "values are coerced to the field's type")
     return p
+
+
+def apply_overrides(cfg: SimConfig, overrides) -> SimConfig:
+    """--set K=V handling: coerce V to the dataclass field's type (bool
+    accepts 0/1/true/false; floats/ints parsed; strings passed through)
+    and replace.  Unknown fields raise with the list of valid names."""
+    import dataclasses
+    fields = {f.name: f for f in dataclasses.fields(SimConfig)}
+    kw = {}
+    for item in overrides:
+        key, sep, val = item.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects K=V, got {item!r}")
+        if key not in fields:
+            raise SystemExit(f"--set: unknown SimConfig field {key!r} "
+                             f"(valid: {', '.join(sorted(fields))})")
+        current = getattr(cfg, key)
+        if isinstance(current, bool):
+            kw[key] = val.lower() in ("1", "true", "yes", "on")
+        elif isinstance(current, int):
+            kw[key] = int(val)
+        elif isinstance(current, float):
+            kw[key] = float(val)
+        elif isinstance(current, tuple):
+            kw[key] = tuple(float(v) for v in val.split(","))
+        else:
+            kw[key] = val if current is not None or val != "none" else None
+    return cfg.replace(**kw) if kw else cfg
 
 
 def main(argv=None) -> dict:
@@ -81,11 +115,12 @@ def main(argv=None) -> dict:
         from gpu_physics_engine_tpu.scenes import get_scene
         scene = get_scene(args.scene)
         args.steps = scene.steps
-        args.pipeline = scene.config.pipeline
         args.attract = [(e.step, *e.pos) for e in scene.events if e.kind == "press"]
         args.release = [e.step for e in scene.events if e.kind == "release"]
         args.spawn = [(e.step, *e.pos) for e in scene.events if e.kind == "spawn"]
-        eng = make_engine(scene.config, seed=args.seed)
+        scene_cfg = apply_overrides(scene.config, args.overrides)
+        args.pipeline = scene_cfg.pipeline
+        eng = make_engine(scene_cfg, seed=args.seed)
     elif args.resume:
         import numpy as _np
         with _np.load(args.resume) as _z:
@@ -95,12 +130,16 @@ def main(argv=None) -> dict:
             from gpu_physics_engine_tpu.utils.checkpoint import (
                 load_tiled_checkpoint)
             state, cfg = load_tiled_checkpoint(args.resume)
-            eng = TiledEngine(cfg, seed=args.seed, initial_state=state)
+            # only non-structural overrides are safe on a checkpoint
+            # (the state's tile geometry is baked in)
+            eng = TiledEngine(apply_overrides(cfg, args.overrides),
+                              seed=args.seed, initial_state=state)
             args.pipeline = "tiled"
         else:
             from gpu_physics_engine_tpu.utils.checkpoint import load_checkpoint
             state, cfg = load_checkpoint(args.resume)
-            eng = Engine(cfg, seed=args.seed, initial_state=state)
+            eng = Engine(apply_overrides(cfg, args.overrides),
+                         seed=args.seed, initial_state=state)
     else:
         cfg = SimConfig(
             max_particles=args.particles + 100 * len(args.spawn),
@@ -110,6 +149,8 @@ def main(argv=None) -> dict:
             substeps=args.substeps,
             sort_interval_steps=args.sort_interval,
             solver=args.solver, pipeline=args.pipeline)
+        cfg = apply_overrides(cfg, args.overrides)
+        args.pipeline = cfg.pipeline
         if args.pipeline == "tiled":
             from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
             eng = TiledEngine(cfg, seed=args.seed)

@@ -145,3 +145,38 @@ def test_scene_presets_constructible():
     import pytest as _pytest
     with _pytest.raises(KeyError):
         get_scene("nope")
+
+
+def test_headless_set_overrides():
+    """--set K=V reaches any SimConfig field with type coercion; unknown
+    keys fail loudly with the valid-name list."""
+    import pytest
+
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.app.headless import apply_overrides
+
+    cfg = SimConfig(max_particles=128, initial_particles=64,
+                    world_width=64.0, world_height=64.0)
+    out = apply_overrides(cfg, [
+        "pipeline=tiled", "tile_cap=6", "tile_multiplier=3.3",
+        "tiled_relocate_interval=2", "gs_layout=mx",
+        "tiled_fuse_integrate=false", "gravity=0,-30",
+        "render_supersample=2"])
+    assert out.pipeline == "tiled" and out.tile_cap == 6
+    assert out.tile_multiplier == 3.3
+    assert out.tiled_relocate_interval == 2 and out.gs_layout == "mx"
+    assert out.tiled_fuse_integrate is False
+    assert out.gravity == (0.0, -30.0)
+    assert out.render_supersample == 2
+    with pytest.raises(SystemExit, match="unknown SimConfig field"):
+        apply_overrides(cfg, ["no_such_knob=1"])
+    with pytest.raises(SystemExit, match="expects K=V"):
+        apply_overrides(cfg, ["oops"])
+    # end-to-end through the CLI
+    from gpu_physics_engine_tpu.app import headless
+    summary = headless.main([
+        "--particles", "64", "--steps", "4", "--world", "32", "32",
+        "--pipeline", "tiled", "--summary-json",
+        "--set", "tile_cap=8", "--set", "tiled_collide=jnp",
+    ])
+    assert summary["finite"]
