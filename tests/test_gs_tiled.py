@@ -174,15 +174,17 @@ def test_gs_pallas_mx_bitmatches_flat():
     ring — the full grid's own pad tiles play the fill role) reproduces
     the flat formulation bit-for-bit, odd dimensions included."""
     from gpu_physics_engine_tpu.ops.gs_pallas import (
-        gs_solve_pallas_flat, gs_solve_pallas_mx)
+        gs_solve_pallas, gs_solve_pallas_flat)
 
     # small cap/K/world for compile cost — see the dec test above; the
-    # flat jits are shared with it through the compilation cache
+    # flat jits are shared with it through the compilation cache.
+    # Routed through the gs_layout dispatcher on purpose (wiring check).
     for seed, (w, h) in _LAYOUT_SCENES:
         pos, radii = _scene(120, seed, w=w, h=h)
         cfg = _tile_cfg(120, w=w, h=h, cap=4, K=4)
+        cfg_mx = cfg.replace(gs_layout="mx")
         st = tiled.init_tiles(cfg, pos, radii)
-        out_m = jax.jit(lambda s: gs_solve_pallas_mx(s, cfg))(st)
+        out_m = jax.jit(lambda s: gs_solve_pallas(s, cfg_mx))(st)
         out_f = jax.jit(lambda s: gs_solve_pallas_flat(s, cfg))(st)
         np.testing.assert_array_equal(np.asarray(out_m.x),
                                       np.asarray(out_f.x))
