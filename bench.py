@@ -57,24 +57,13 @@ BASELINE_MS = {100_000: 1.03, 256_000: 1.28, 512_000: 1.88, 756_000: 2.53,
                1_048_576: 3.66, 2_000_000: 8.417, 3_000_000: 15.62,
                4_194_304: 22.70}
 
-# (tile_multiplier, tile_cap, chunk, match, relocate_interval) per size —
-# winners of the round-2 hardware sweeps (scripts/tpu_sweep_curve*.py +
-# tpu_sweep_iv*.py; greedy/flip slot matching + relocate hysteresis +
-# relocate interval): fastest config whose deferred population
-# (defer_pct x interval — PERF.md "Relocate interval") stays at/near the
-# ~1% physics-quality bound.  The interval is the mid-curve fix: the
-# relocate phase is ~half of every step yet only moves storage, so
-# running it every k-th step wins 25-40% at every size.
-_TILE_GEOM = {
-    100_000: (22.0, 8, 128, "greedy", 4),
-    256_000: (12.1, 8, 128, "greedy", 2),
-    512_000: (6.6, 6, 128, "greedy", 4),
-    756_000: (4.4, 4, 32, "greedy", 4),
-    1_048_576: (4.4, 5, 32, "greedy", 4),
-    2_000_000: (4.4, 6, 16, "greedy", 4),
-    3_000_000: (3.3, 6, 16, "flip", 2),
-    4_194_304: (3.3, 6, 16, "greedy", 2),
-}
+# per-size production geometry: single source of truth is the library
+# (core/tuned.py — hardware-swept; method + rationale in PERF.md).
+# The relocate interval is the mid-curve fix: the relocate phase is
+# ~half of every step yet only moves storage, so running it every k-th
+# step wins 25-40% at every size.
+from gpu_physics_engine_tpu.core.tuned import (  # noqa: E402
+    TUNED_TILE_GEOMETRY as _TILE_GEOM)
 
 SETTLE = 480     # steps before timing (mover churn decays).  Multiple of
                  # the 240-step sweep cadence so the settle phase runs the

@@ -28,6 +28,8 @@ Layout:
 from gpu_physics_engine_tpu.core.config import SimConfig
 from gpu_physics_engine_tpu.core.state import ParticleState, StepParams
 from gpu_physics_engine_tpu.core.engine import Engine
+from gpu_physics_engine_tpu.core.tuned import (tuned_chunk, tuned_config,
+                                               tuned_row)
 
 __version__ = "0.1.0"
 
@@ -41,5 +43,15 @@ def make_engine(config: SimConfig, seed: int = 0):
     return Engine(config, seed=seed)
 
 
+def make_tuned_engine(n_particles: int, seed: int = 0, **overrides):
+    """Production tiled engine at the hardware-swept geometry for this
+    size (core/tuned.py; the curve bench.py measures).  Overrides go to
+    SimConfig; the run() scan chunk is set from the same table."""
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    cfg = tuned_config(n_particles, **overrides)
+    return TiledEngine(cfg, seed=seed, chunk=tuned_chunk(n_particles))
+
+
 __all__ = ["SimConfig", "ParticleState", "StepParams", "Engine",
-           "make_engine", "__version__"]
+           "make_engine", "make_tuned_engine", "tuned_config",
+           "tuned_chunk", "tuned_row", "__version__"]

@@ -1,0 +1,71 @@
+"""Hardware-swept production tile geometry per particle count.
+
+The reference publishes one frame-time row per size (100k..4M,
+/root/reference/README.md:80-87) with a single engine configuration; the
+tiled TPU pipeline instead has a per-size optimum (tile multiplier, cap,
+scan chunk, relocate matching, relocate interval) found by the round-2
+hardware sweeps on a TPU v5e chip (scripts/tpu_sweep_curve*.py,
+tpu_sweep_iv*.py; method + full tables in PERF.md).  This module is the
+single source of truth: bench.py and user code both read it.
+
+Rows are the fastest configs whose DEFERRED POPULATION (deferral rate x
+relocate interval — the physics-quality signal, PERF.md "Relocate
+interval") stays at or near the ~1%/step bound.
+
+The rows track the reference curve's DENSITY: n particles of radius ~0.5
+in the fixed 3048x1048 world (2.5% area fill at 100k up to ~100% packed
+at 4M).  The coarse multipliers at small n (22.0 at 100k) are only sane
+at that sparsity — if your world/radius density differs a lot, treat the
+nearest row as a starting point and re-sweep.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from gpu_physics_engine_tpu.core.config import SimConfig
+
+# n_particles -> (tile_multiplier, tile_cap, run chunk, tiled_match,
+#                 tiled_relocate_interval)
+TUNED_TILE_GEOMETRY = {
+    100_000: (22.0, 8, 128, "greedy", 4),
+    256_000: (12.1, 8, 128, "greedy", 2),
+    512_000: (6.6, 6, 128, "greedy", 4),
+    756_000: (4.4, 4, 32, "greedy", 4),
+    1_048_576: (4.4, 5, 32, "greedy", 4),
+    2_000_000: (4.4, 6, 16, "greedy", 4),
+    3_000_000: (3.3, 6, 16, "flip", 2),
+    4_194_304: (3.3, 6, 16, "greedy", 2),
+}
+
+
+def tuned_row(n_particles: int):
+    """(mult, cap, chunk, match, interval) for the nearest swept size
+    (log-nearest: the optimum tracks density, which scales with n)."""
+    sizes = sorted(TUNED_TILE_GEOMETRY)
+    best = min(sizes, key=lambda s: abs(s / n_particles - 1.0)
+               + abs(n_particles / s - 1.0))
+    return TUNED_TILE_GEOMETRY[best]
+
+
+def tuned_config(n_particles: int, max_particles: Optional[int] = None,
+                 **overrides) -> SimConfig:
+    """Production tiled SimConfig at the swept geometry for this size.
+
+    ``overrides`` go straight to SimConfig (world size, gravity, ...);
+    geometry fields you pass explicitly win over the table.
+    The matching run() chunk is ``tuned_chunk(n_particles)``.
+    """
+    mult, cap, _, match, iv = tuned_row(n_particles)
+    kw = dict(pipeline="tiled", tile_multiplier=mult, tile_cap=cap,
+              tiled_match=match, tiled_relocate_interval=iv,
+              initial_particles=n_particles,
+              max_particles=max_particles or n_particles)
+    kw.update(overrides)
+    return SimConfig(**kw)
+
+
+def tuned_chunk(n_particles: int) -> int:
+    """run() scan-chunk depth paired with tuned_config (small sizes
+    amortize the ~5.7 ms/program tunnel floor over deeper scans)."""
+    return tuned_row(n_particles)[2]

@@ -23,6 +23,13 @@ static and the whole step jits into one SPMD program.  Known v1 deviations,
 all counted in diagnostics rather than silent: halo/migration overflow
 drops, and cross-boundary pairs resolve Jacobi-style between chips (each
 side applies its own half) instead of the single-chip sequential order.
+
+SCOPE: this module is the reference-dataflow multi-chip path — sorted
+arrays, colored solve, cell size pinned to min_cell_size — kept for
+semantics validation and as the array-engine analog.  The PRODUCTION
+multi-chip path is parallel/tiled_shard.py (tile-row slabs, fused Pallas
+substep, pull relocation, scan-chunked run, lossless two-phase-commit
+migration); benchmarks and the multichip dryrun exercise that one.
 """
 
 from __future__ import annotations

@@ -180,3 +180,29 @@ def test_headless_set_overrides():
         "--set", "tile_cap=8", "--set", "tiled_collide=jnp",
     ])
     assert summary["finite"]
+
+
+def test_tuned_geometry_api():
+    """make_tuned_engine / tuned_config: the hardware-swept per-size
+    production geometry is a library API (single source of truth shared
+    with bench.py), with log-nearest size matching and overrides."""
+    from gpu_physics_engine_tpu import (make_tuned_engine, tuned_chunk,
+                                        tuned_config, tuned_row)
+    from gpu_physics_engine_tpu.core.tuned import TUNED_TILE_GEOMETRY
+    import bench
+
+    assert bench._TILE_GEOM is TUNED_TILE_GEOMETRY
+    cfg = tuned_config(1_048_576)
+    assert cfg.pipeline == "tiled"
+    mult, cap, chunk, match, iv = TUNED_TILE_GEOMETRY[1_048_576]
+    assert (cfg.tile_multiplier, cfg.tile_cap, cfg.tiled_match,
+            cfg.tiled_relocate_interval) == (mult, cap, match, iv)
+    assert tuned_chunk(1_048_576) == chunk
+    assert tuned_row(900_000) == tuned_row(1_048_576)  # log-nearest
+    # a tiny engine at the small-size row actually runs (default world —
+    # the rows track the reference curve's density; flip matching keeps
+    # the CPU compile small, see CLAUDE.md compile discipline)
+    eng = make_tuned_engine(2_000, tiled_collide="jnp",
+                            tiled_match="flip")
+    eng.run(4)
+    assert eng.num_particles() == 2_000
