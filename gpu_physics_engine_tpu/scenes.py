@@ -34,6 +34,11 @@ _WORLD = dict(world_width=3048.0, world_height=1048.0)
 _CENTER = (1524.0, 524.0)
 
 
+def _tuned(n: int, **overrides) -> SimConfig:
+    from gpu_physics_engine_tpu.core.tuned import tuned_config
+    return tuned_config(n, **overrides)
+
+
 def _scenes() -> Dict[str, Scene]:
     return {
         # config 1: CPU-runnable reference scene
@@ -63,17 +68,14 @@ def _scenes() -> Dict[str, Scene]:
                              sort_interval_steps=240, solver="fast", **_WORLD),
             steps=600),
         # config 4: sustained scale + substeps, persistent tiled pipeline
-        # (round-2 production geometry: greedy slot matching + hysteresis
-        # let cap drop to 6 — 8.13 ms/step single-substep at 0.003%/step
-        # deferral, PERF.md; substeps=2 doubles the fused solve pass)
+        # at the swept production geometry (core/tuned.py: greedy slot
+        # matching + hysteresis + relocate interval — 5.7 ms/step
+        # single-substep at 4M, PERF.md "Relocate interval"; substeps=2
+        # doubles the fused solve pass)
         "four_million": Scene(
             name="four_million",
             description="4M sustained, multi-substep collision solve",
-            config=SimConfig(max_particles=4_194_304,
-                             initial_particles=4_194_304,
-                             substeps=2, pipeline="tiled", solver="fast",
-                             tile_cap=6, tile_multiplier=3.3,
-                             tiled_match="greedy", **_WORLD),
+            config=_tuned(4_194_304, substeps=2, solver="fast", **_WORLD),
             steps=200),
         # config 5: multi-chip stretch (parallel/tiled_shard.py on a mesh;
         # this entry carries the single-chip-equivalent config — measured
