@@ -83,10 +83,15 @@ def init_sharded_tiles(config: SimConfig, mesh: Mesh, positions, radii
     )
 
 
-def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh):
-    assert config.tiled_relocate_interval == 1, (
-        "the sharded tiled path relocates every step; "
-        "tiled_relocate_interval > 1 is single-chip only")
+def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
+                               do_relocate: bool = True):
+    """``do_relocate=False`` builds the off-step of
+    SimConfig.tiled_relocate_interval: halo exchange + collide +
+    integrate only — relocation AND boundary-crosser migration are
+    skipped together (both only move storage; positions stay exact and
+    the auto hysteresis reserved (interval-1) steps of drift, so every
+    particle's 3x3 storage neighborhood — including cross-slab halo
+    rows — still covers its pair set)."""
     axis = config.mesh_axis
     n = mesh.devices.size
     t, TYp, TX, rows = sharded_tile_geometry(config, n)
@@ -180,7 +185,13 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh):
             local = tiled.integrate(local, params, config,
                                     dt_scale=1.0 / config.substeps)
 
-        # ---- 3. relocation ----
+        # ---- 3. relocation (skipped on interval off-steps) ----
+        if not do_relocate:
+            alive = jnp.sum((local.pid >= 0).astype(_I32))
+            n_alive = jax.lax.psum(alive, axis)
+            zero = alive * 0  # axis-varying zero (out_specs: P(axis))
+            return (local.x, local.y, local.px, local.py, local.radius,
+                    local.pid, n_alive, dropped, zero[None])
         occ = local.pid >= 0
         ty_want_g, tx_want = _tile_of(local.x, local.y, jnp.float32(t))
         ty_want_g = jnp.clip(ty_want_g, 1, TYp - 2)
@@ -403,6 +414,13 @@ class ShardedTiledEngine:
         self.config = config
         self.state = init_sharded_tiles(config, self.mesh, positions, radii)
         step_fn = make_sharded_tiled_step_fn(config, self.mesh)
+        # relocate every iv-th step (tiled_relocate_interval — TiledEngine
+        # parity): the off-step program skips relocation AND migration
+        # (storage-only phases; see make_sharded_tiled_step_fn)
+        iv = max(1, config.tiled_relocate_interval)
+        step_nr_fn = (make_sharded_tiled_step_fn(config, self.mesh,
+                                                 do_relocate=False)
+                      if iv > 1 else step_fn)
 
         @jax.jit
         def _step(state, p):
@@ -414,18 +432,31 @@ class ShardedTiledEngine:
         # per-chip deferral counts are summed across the chunk.
         self._chunks = {}
 
+        def _group(s, p, m):
+            s, drops = step_fn(s, p)
+            for _ in range(m - 1):
+                s, d2 = step_nr_fn(s, p)
+                drops = drops + d2
+            return s, drops
+
         def _chunk_of(k: int):
             # compiled per distinct scan length: remainder windows get a
             # scanned program instead of per-step dispatch (same
             # treatment as TiledEngine.run)
             if k not in self._chunks:
                 def _chunk_fn(state, p):
-                    def body(s, _):
-                        s, drops = step_fn(s, p)
-                        return s, drops
-                    state, drops = jax.lax.scan(
-                        body, state, None, length=k)
-                    return state, drops.sum(axis=0)
+                    full, rem = divmod(k, iv)
+                    drops = None
+                    if full:
+                        def body(s, _):
+                            return _group(s, p, iv)
+                        state, d = jax.lax.scan(
+                            body, state, None, length=full)
+                        drops = d.sum(axis=0)
+                    if rem:
+                        state, d = _group(state, p, rem)
+                        drops = d if drops is None else drops + d
+                    return state, drops
                 self._chunks[k] = jax.jit(_chunk_fn, donate_argnums=0)
             return self._chunks[k]
         self._chunk_of = _chunk_of

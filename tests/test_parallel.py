@@ -386,3 +386,30 @@ def test_sharded_tiled_migration_overflow_never_duplicates(mesh8):
     assert len(pid) == n                      # nothing lost
     assert len(np.unique(pid)) == n           # nothing duplicated
     assert np.isfinite(pos).all()
+
+
+def test_sharded_tiled_relocate_interval(mesh8):
+    """tiled_relocate_interval=2 on the sharded engine: off-steps skip
+    relocation AND migration (storage-only phases), every particle
+    survives, and trajectories track the every-step engine to float
+    tolerance (same pair sets within the reserved staleness bound, only
+    summation order may differ)."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel.tiled_shard import (
+        ShardedTiledEngine)
+
+    kw = dict(initial_particles=160, gravity=(0.0, -30.0),
+              tiled_relocate="pallas", tiled_match="flip")
+    e1 = ShardedTiledEngine(_tcfg(**kw), mesh=mesh8, seed=3)
+    e2 = ShardedTiledEngine(_tcfg(tiled_relocate_interval=2, **kw),
+                            mesh=mesh8, seed=3)
+    e1.run(16)
+    e2.run(16)
+    p1, x1, _, _ = export_particles(e1.state)
+    p2, x2, _, _ = export_particles(e2.state)
+    assert len(p1) == len(p2) == 160
+    np.testing.assert_array_equal(np.sort(p1), np.sort(p2))
+    assert np.isfinite(x2).all()
+    o1 = np.argsort(p1)
+    o2 = np.argsort(p2)
+    np.testing.assert_allclose(x1[o1], x2[o2], atol=2e-3)
