@@ -166,6 +166,13 @@ class SimConfig:
     # cheaper but its XLA stride-2 relayouts cost ~130 ms @1M (PERF.md);
     # "mx" removes that tax — flipped to auto once hardware-verified.
     gs_layout: str = "auto"
+    # gs_layout="mx" relayout precision: True (safe default) splits every
+    # 32-bit plane into exact u16-half f32 planes before the one-hot
+    # matmuls — bit-faithful on any hardware; False rides raw f32 planes
+    # through Precision.HIGHEST matmuls (half the relayout work) — flip
+    # only after scripts/tpu_probe_gsmx.py's raw_f32_onehot_exact check
+    # confirms exactness on the target chip.  Int planes always split.
+    gs_mx_split: bool = True
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
     # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover

@@ -763,31 +763,59 @@ def _mx_cols_join(e, o, E):
     return out.reshape(C, R, L2 * 2)
 
 
-def _mx_decompose(a, TY: int, TX: int, fill, Ey, Ex):
+def _mx_deinterleave(a, Ey, Ex):
+    """One padded f32 [C, TYp, TXp] -> the four parity sub-grids."""
+    subs = {}
+    r0, r1 = _mx_rows_split(a, Ey)
+    for pa, rows in ((0, r0), (1, r1)):
+        c0, c1 = _mx_cols_split(rows, Ex)
+        subs[(pa, 0)] = c0
+        subs[(pa, 1)] = c1
+    return subs
+
+
+def _mx_decompose(a, TY: int, TX: int, fill, Ey, Ex, split: bool = True):
     """Full [C, >=TY, TX] -> {(row parity, col parity): [C, TYp/2, TXp/2]}
-    via u16-split one-hot matmuls; pad rows/cols hold ``fill``."""
+    via one-hot matmuls; pad rows/cols hold ``fill``.
+
+    ``split=True`` (the safe default) carries every 32-bit plane as two
+    exact u16-half f32 planes — bit-faithful independent of the
+    hardware's f32-matmul decomposition, NaN payloads included.
+    ``split=False`` runs float32 planes through the one-hot matmul
+    directly at Precision.HIGHEST (half the matmul work) — FINITE
+    values only (0 * NaN = NaN leaks across the one-hot zeros; engine
+    positions are finite by invariant), and only after
+    scripts/tpu_probe_gsmx.py's raw_f32_onehot_exact check confirms
+    bit-exactness on the target hardware.  Integer planes always split
+    (bitcast ints can be NaN payloads under f32 arithmetic)."""
     TYp, TXp, _, _ = _mx_geometry(TY, TX)
     a = a[:, :TY]
     a = jnp.pad(a, ((0, 0), (0, TYp - TY), (0, TXp - TX)),
                 constant_values=fill)
+    if not split and a.dtype == jnp.float32:
+        return _mx_deinterleave(a, Ey, Ex)
     subs = {}
     for half in _mx_split(a):
-        r0, r1 = _mx_rows_split(half, Ey)
-        for pa, rows in ((0, r0), (1, r1)):
-            c0, c1 = _mx_cols_split(rows, Ex)
-            for pb, sub in ((0, c0), (1, c1)):
-                subs.setdefault((pa, pb), []).append(sub)
+        for p, sub in _mx_deinterleave(half, Ey, Ex).items():
+            subs.setdefault(p, []).append(sub)
     return {p: _mx_merge(hi, lo, a.dtype) for p, (hi, lo) in subs.items()}
 
 
-def _mx_recompose(subs, TY: int, TX: int, dtype, Ey, Ex):
+def _mx_interleave(parts, Ex, Ey):
+    rows = [_mx_cols_join(parts[(pa, 0)], parts[(pa, 1)], Ex)
+            for pa in (0, 1)]
+    return _mx_rows_join(rows[0], rows[1], Ey)
+
+
+def _mx_recompose(subs, TY: int, TX: int, dtype, Ey, Ex,
+                  split: bool = True):
     """Inverse of _mx_decompose -> [C, TY, TX]."""
+    if not split and jnp.dtype(dtype) == jnp.float32:
+        return _mx_interleave(subs, Ex, Ey)[:, :TY, :TX]
     halves = []
     for idx in range(2):
         parts = {p: _mx_split(subs[p])[idx] for p in _PARS}
-        rows = [_mx_cols_join(parts[(pa, 0)], parts[(pa, 1)], Ex)
-                for pa in (0, 1)]
-        halves.append(_mx_rows_join(rows[0], rows[1], Ey))
+        halves.append(_mx_interleave(parts, Ex, Ey))
     return _mx_merge(halves[0], halves[1], dtype)[:, :TY, :TX]
 
 
@@ -796,7 +824,8 @@ def gs_solve_pallas_mx(state: TileState, config: SimConfig) -> TileState:
     space, decompose via one-hot MXU matmuls, per color run the same
     fused resolve+sweep and apply kernels as the "dec" layout on the
     color's sub-grid, recompose.  Bit-matches gs_solve_pallas_flat / the
-    scalar model."""
+    scalar model.  Phases carry named scopes (gs_rank / gs_relayout /
+    gs_color{n}) for utils/profiling traces."""
     t, TY, TX = tile_geometry(config)
     cap = state.dims[0]
     K = config.max_occupancy
@@ -831,32 +860,35 @@ def gs_solve_pallas_mx(state: TileState, config: SimConfig) -> TileState:
     one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
                     jnp.float32(2.0)).reshape((1,))
 
-    src, rpid, rrad, count = pl.pallas_call(
-        partial(_rank_kernel, cap=cap, K=K, t=t),
-        grid=(nb_full,),
-        in_specs=[smem] + spec3f(cap) * 4,
-        out_specs=(pl.BlockSpec((K, BAND, TX), mid_full,
-                                memory_space=pltpu.VMEM),) * 3 + (
-            pl.BlockSpec((BAND, TX), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),),
-        out_shape=(_sds((K, TYb, TX), jnp.int32),
-                   _sds((K, TYb, TX), jnp.int32),
-                   _sds((K, TYb, TX), jnp.float32),
-                   _sds((TYb, TX), jnp.int32)),
-        compiler_params=vmem,
-        interpret=_interpret(),
-    )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
+    with jax.named_scope("gs_rank"):
+        src, rpid, rrad, count = pl.pallas_call(
+            partial(_rank_kernel, cap=cap, K=K, t=t),
+            grid=(nb_full,),
+            in_specs=[smem] + spec3f(cap) * 4,
+            out_specs=(pl.BlockSpec((K, BAND, TX), mid_full,
+                                    memory_space=pltpu.VMEM),) * 3 + (
+                pl.BlockSpec((BAND, TX), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),),
+            out_shape=(_sds((K, TYb, TX), jnp.int32),
+                       _sds((K, TYb, TX), jnp.int32),
+                       _sds((K, TYb, TX), jnp.float32),
+                       _sds((TYb, TX), jnp.int32)),
+            compiler_params=vmem,
+            interpret=_interpret(),
+        )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
     overflow = jnp.sum(jnp.maximum(count - K, 0))
 
     # ---- decompose (rank pad rows already hold the fill values) ----
     by, bx = _mx_blocks(TY, TX)
     Ey, Ex = _mx_onehot(by), _mx_onehot(bx)
-    xs = _mx_decompose(state.x, TY, TX, 0.0, Ey, Ex)
-    ys = _mx_decompose(state.y, TY, TX, 0.0, Ey, Ex)
-    ps = _mx_decompose(state.pid, TY, TX, -1, Ey, Ex)
-    srcs = _mx_decompose(src, TY, TX, -1, Ey, Ex)
-    rpids = _mx_decompose(rpid, TY, TX, _BIGPID, Ey, Ex)
-    rrads = _mx_decompose(rrad, TY, TX, 0.0, Ey, Ex)
+    sp = config.gs_mx_split
+    with jax.named_scope("gs_relayout_in"):
+        xs = _mx_decompose(state.x, TY, TX, 0.0, Ey, Ex, split=sp)
+        ys = _mx_decompose(state.y, TY, TX, 0.0, Ey, Ex, split=sp)
+        ps = _mx_decompose(state.pid, TY, TX, -1, Ey, Ex)
+        srcs = _mx_decompose(src, TY, TX, -1, Ey, Ex)
+        rpids = _mx_decompose(rpid, TY, TX, _BIGPID, Ey, Ex)
+        rrads = _mx_decompose(rrad, TY, TX, 0.0, Ey, Ex, split=sp)
 
     nb = DYp // BAND
 
@@ -877,42 +909,44 @@ def gs_solve_pallas_mx(state: TileState, config: SimConfig) -> TileState:
 
     for color in (1, 2, 3, 4):
         ac, bc = _mx_parity(color)
-        ux, uy = pl.pallas_call(
-            partial(_solve_dec_kernel, cap=cap, K=K, ac=ac, bc=bc,
-                    stiffness=config.stiffness),
-            grid=(nb,),
-            in_specs=([smem] + [s for p in _PARS for s in spec3(cap)]
-                      + [s for p in _PARS for s in spec3(cap)]
-                      + [spec1(K)] * 3),
-            out_specs=(spec1(K), spec1(K)),
-            out_shape=(_sds((K, DYp, DX), jnp.float32),
-                       _sds((K, DYp, DX), jnp.float32)),
-            compiler_params=vmem,
-            interpret=_interpret(),
-        )(one,
-          *[b for p in _PARS for b in (xs[p], xs[p], xs[p])],
-          *[b for p in _PARS for b in (ys[p], ys[p], ys[p])],
-          srcs[(ac, bc)], rpids[(ac, bc)], rrads[(ac, bc)])
+        with jax.named_scope(f"gs_color{color}"):
+            ux, uy = pl.pallas_call(
+                partial(_solve_dec_kernel, cap=cap, K=K, ac=ac, bc=bc,
+                        stiffness=config.stiffness),
+                grid=(nb,),
+                in_specs=([smem] + [s for p in _PARS for s in spec3(cap)]
+                          + [s for p in _PARS for s in spec3(cap)]
+                          + [spec1(K)] * 3),
+                out_specs=(spec1(K), spec1(K)),
+                out_shape=(_sds((K, DYp, DX), jnp.float32),
+                           _sds((K, DYp, DX), jnp.float32)),
+                compiler_params=vmem,
+                interpret=_interpret(),
+            )(one,
+              *[b for p in _PARS for b in (xs[p], xs[p], xs[p])],
+              *[b for p in _PARS for b in (ys[p], ys[p], ys[p])],
+              srcs[(ac, bc)], rpids[(ac, bc)], rrads[(ac, bc)])
 
-        new = pl.pallas_call(
-            partial(_apply_dec_kernel, cap=cap, K=K, ac=ac, bc=bc),
-            grid=(nb,),
-            in_specs=(spec3(K) + spec3(K) + spec3(K)
-                      + [spec1(cap)] * 12),
-            out_specs=tuple([spec1(cap)] * 8),
-            out_shape=tuple(_sds((cap, DYp, DX), jnp.float32)
-                            for _ in range(8)),
-            compiler_params=vmem,
-            interpret=_interpret(),
-        )(ux, ux, ux, uy, uy, uy,
-          rpids[(ac, bc)], rpids[(ac, bc)], rpids[(ac, bc)],
-          *[b for p in _PARS for b in (xs[p], ys[p], ps[p])])
+            new = pl.pallas_call(
+                partial(_apply_dec_kernel, cap=cap, K=K, ac=ac, bc=bc),
+                grid=(nb,),
+                in_specs=(spec3(K) + spec3(K) + spec3(K)
+                          + [spec1(cap)] * 12),
+                out_specs=tuple([spec1(cap)] * 8),
+                out_shape=tuple(_sds((cap, DYp, DX), jnp.float32)
+                                for _ in range(8)),
+                compiler_params=vmem,
+                interpret=_interpret(),
+            )(ux, ux, ux, uy, uy, uy,
+              rpids[(ac, bc)], rpids[(ac, bc)], rpids[(ac, bc)],
+              *[b for p in _PARS for b in (xs[p], ys[p], ps[p])])
         for i, p in enumerate(_PARS):
             xs[p] = new[2 * i]
             ys[p] = new[2 * i + 1]
 
-    nx = _mx_recompose(xs, TY, TX, jnp.float32, Ey, Ex)
-    ny = _mx_recompose(ys, TY, TX, jnp.float32, Ey, Ex)
+    with jax.named_scope("gs_relayout_out"):
+        nx = _mx_recompose(xs, TY, TX, jnp.float32, Ey, Ex, split=sp)
+        ny = _mx_recompose(ys, TY, TX, jnp.float32, Ey, Ex, split=sp)
     return dataclasses.replace(
         state, x=nx, y=ny,
         overflow_count=state.overflow_count + overflow)

@@ -72,6 +72,15 @@ try:
     log(stage="gs_parity_hw", chains_equal=same,
         overflow_equal=bool(out_f.overflow_count == out_m.overflow_count))
 
+    # raw-f32 relayout (gs_mx_split=False): timing + chain equality vs
+    # the split path (equal iff the raw one-hot matmul is bit-exact here)
+    cfg_ns = cfg.replace(gs_mx_split=False)
+    mx_ns = jax.jit(lambda s: gs_solve_pallas_mx(s, cfg_ns))
+    ms_ns, out_ns = time_call(mx_ns, st)
+    same_ns = bool(jnp.array_equal(out_f.x, out_ns.x)
+                   & jnp.array_equal(out_f.y, out_ns.y))
+    log(stage="gs_mx_nosplit", ms=round(ms_ns, 2), chains_equal=same_ns)
+
     # relayout-only isolation: decompose+recompose round trip of the
     # solve's plane set (x, y, pid at cap + src-class K*3), fetch-synced
     _, TY, TX = tiled_ops.tile_geometry(cfg)

@@ -167,6 +167,23 @@ def test_mx_relayout_roundtrip_bit_faithful():
                                         Ey, Ex))
         np.testing.assert_array_equal(back.view(np.uint32),
                                       a.view(np.uint32))
+        if dtype == np.float32:
+            # raw-f32 mode (gs_mx_split=False) is FINITE-ONLY: a NaN
+            # source would leak across the one-hot zeros (0 * NaN = NaN)
+            # — positions are finite by invariant.  Exact on CPU; TPU
+            # exactness is probed by scripts/tpu_probe_gsmx.py.
+            af = np.nan_to_num(a, nan=1.25)
+            apf = np.nan_to_num(ap, nan=1.25)
+            subs_r = _mx_decompose(jnp.asarray(af), TY, TX, fill, Ey, Ex,
+                                   split=False)
+            for (pa, pb) in _PARS:
+                np.testing.assert_array_equal(
+                    np.asarray(subs_r[(pa, pb)]).view(np.uint32),
+                    apf[:, pa::2, pb::2].view(np.uint32))
+            back_r = np.asarray(_mx_recompose(
+                subs_r, TY, TX, jnp.dtype(dtype), Ey, Ex, split=False))
+            np.testing.assert_array_equal(back_r.view(np.uint32),
+                                          af.view(np.uint32))
 
 
 def test_gs_pallas_mx_bitmatches_flat():
