@@ -26,6 +26,15 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=0,
                    help="exit after N frames (0 = run until closed); "
                         "useful for smoke tests on headless backends")
+    p.add_argument("--pipeline", choices=("sorted", "bucket", "tiled"),
+                   default="sorted",
+                   help="tiled = production engine; frames composite "
+                        "ON-DEVICE and only the finished image downloads "
+                        "(the 1M+ interactive path — host splatting costs "
+                        "~150 ms @1M, PERF.md)")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   dest="overrides", help="SimConfig overrides (headless "
+                                          "--set semantics)")
     args = p.parse_args(argv)
 
     try:
@@ -36,7 +45,8 @@ def main(argv=None):
             "interactive mode needs matplotlib; use app.headless "
             "--render-every to write PNG frames instead") from e
 
-    from gpu_physics_engine_tpu import Engine, SimConfig
+    from gpu_physics_engine_tpu import SimConfig, make_engine
+    from gpu_physics_engine_tpu.app.headless import apply_overrides
     from gpu_physics_engine_tpu.render.viewer import Viewer
     from gpu_physics_engine_tpu.utils.input import InputManager
 
@@ -44,8 +54,9 @@ def main(argv=None):
         max_particles=args.particles + 100_000,
         initial_particles=args.particles,
         world_width=args.world[0], world_height=args.world[1],
-        gravity=tuple(args.gravity))
-    eng = Engine(cfg, seed=args.seed)
+        gravity=tuple(args.gravity), pipeline=args.pipeline)
+    cfg = apply_overrides(cfg, args.overrides)
+    eng = make_engine(cfg, seed=args.seed)
     viewer = Viewer((cfg.world_width, cfg.world_height), tuple(args.window))
 
     running = {"on": True}

@@ -206,3 +206,19 @@ def test_tuned_geometry_api():
                             tiled_match="flip")
     eng.run(4)
     assert eng.num_particles() == 2_000
+
+
+def test_interactive_smoke_headless():
+    """The interactive window loop runs under the Agg backend (no
+    display): N bounded frames, tiled pipeline -> device-composited
+    frames through Viewer.render_engine."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from gpu_physics_engine_tpu.app import interactive
+
+    interactive.main(["--frames", "3", "--particles", "200",
+                      "--world", "64", "64", "--window", "160", "120",
+                      "--pipeline", "tiled",
+                      "--set", "tiled_collide=jnp",
+                      "--set", "tile_cap=16",
+                      "--set", "sort_interval_steps=0"])
