@@ -146,7 +146,10 @@ def main():
              2_000_000, 3_000_000]  # headline sizes first
     eng_4m = None
     for n in order:
-        if time.time() - t_start > soft_deadline_s and n in detail:
+        # past the deadline, skip remaining sizes as long as SOMETHING
+        # was measured (the headline runs first)
+        if time.time() - t_start > soft_deadline_s and detail:
+            detail[str(n)] = {"skipped": "soft deadline"}
             continue
         try:
             ms, defer_pct, eng = measure_tiled(n)

@@ -102,8 +102,22 @@ def apply_overrides(cfg: SimConfig, overrides) -> SimConfig:
             kw[key] = float(val)
         elif isinstance(current, tuple):
             kw[key] = tuple(float(v) for v in val.split(","))
+        elif current is None:
+            # Optional fields (e.g. tile_max_radius: float | None) carry
+            # no runtime type — parse by value: none/int/float/str
+            if val.lower() in ("none", "null"):
+                kw[key] = None
+            else:
+                for cast in (int, float):
+                    try:
+                        kw[key] = cast(val)
+                        break
+                    except ValueError:
+                        pass
+                else:
+                    kw[key] = val
         else:
-            kw[key] = val if current is not None or val != "none" else None
+            kw[key] = val
     return cfg.replace(**kw) if kw else cfg
 
 

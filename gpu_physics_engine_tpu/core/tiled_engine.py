@@ -140,12 +140,17 @@ class TiledEngine:
         # per-step dispatch is free while every distinct window length
         # is a fresh (very slow) XLA compile — gate it off there
         self._scan_remainders = jax.default_backend() == "tpu"
-        # single-step path: relocate on the interval phase (step() tracks
-        # self._steps_done % iv)
+        # single-step path: relocate when the steps-since-last-relocate
+        # counter says the (iv-1)-step drift reserve is spent.  An
+        # explicit counter, NOT _steps_done % iv: run() windows restart
+        # the relocate-first group pattern at window boundaries, so an
+        # absolute-phase step() after a window could stack up to
+        # 2*(iv-1) consecutive off-steps — past the reserved bound.
         self._step_nr = jax.jit(
             partial(tiled.tiled_step_fn, config=config, do_relocate=False),
             donate_argnums=0) if iv > 1 else None
         self._reloc_iv = iv
+        self._since_reloc = iv - 1  # force a relocate on the first step
         if self.big is not None:
             self._build_hybrid()
 
@@ -229,12 +234,19 @@ class TiledEngine:
             self.config.dt if dt is None else dt,
             mouse=self.mouse_pos, pressed=self.mouse_pressed)
 
+    def _reloc_off(self) -> bool:
+        """True when this step may skip the relocate (the counter of
+        steps since the last relocating step hasn't spent the
+        (interval-1)-step drift reserve)."""
+        return (self._reloc_iv > 1
+                and self._since_reloc < self._reloc_iv - 1)
+
     def step(self, params: Optional[StepParams] = None):
         interval = self._sweep_interval
         if interval and self._steps_done and self._steps_done % interval == 0:
             self.state = self._sweep(self.state)
-        off_phase = (self._reloc_iv > 1
-                     and self._steps_done % self._reloc_iv != 0)
+            self._since_reloc = 0  # the exact sweep restores storage==home
+        off_phase = self._reloc_off()
         if self.big is not None:
             hstep = self._hybrid_step_nr if off_phase else self._hybrid_step
             self.state, self.big = hstep(
@@ -243,6 +255,7 @@ class TiledEngine:
             self.state = self._step_nr(self.state, params or self.params())
         else:
             self.state = self._step(self.state, params or self.params())
+        self._since_reloc = self._since_reloc + 1 if off_phase else 0
         self._steps_done += 1
         return self.state
 
@@ -256,6 +269,7 @@ class TiledEngine:
             if (interval and self._steps_done
                     and self._steps_done % interval == 0):
                 self.state = self._sweep(self.state)
+                self._since_reloc = 0
             # largest whole chunk that stays inside the sweep cadence and
             # the sync_every request
             bound = n_steps - done
@@ -265,36 +279,47 @@ class TiledEngine:
             if sync_every:
                 bound = min(bound, sync_every - done % sync_every
                             if done % sync_every else sync_every)
+            window = False  # took a relocate-first scanned window
             if self.big is not None:
                 if bound >= self.CHUNK:
                     self.state, self.big = self._hybrid_chunk(
                         (self.state, self.big), p)
                     took = self.CHUNK
+                    window = True
                 elif bound > 1 and self._scan_remainders:
                     self.state, self.big = self._hybrid_chunk_of(bound)(
                         (self.state, self.big), p)
                     took = bound
+                    window = True
                 else:
-                    off = (self._reloc_iv > 1
-                           and self._steps_done % self._reloc_iv != 0)
+                    off = self._reloc_off()
                     hstep = (self._hybrid_step_nr if off
                              else self._hybrid_step)
                     self.state, self.big = hstep(self.state, self.big, p)
                     took = 1
+                    self._since_reloc = (self._since_reloc + 1 if off
+                                         else 0)
             elif bound >= self.CHUNK:
                 self.state = self._chunk(self.state, p)
                 took = self.CHUNK
+                window = True
             elif bound > 1 and self._scan_remainders:
                 # remainder window: one scanned program of exactly
                 # `bound` steps (compiled once per distinct length)
                 self.state = self._chunk_of(bound)(self.state, p)
                 took = bound
+                window = True
             else:
-                off = (self._reloc_iv > 1
-                       and self._steps_done % self._reloc_iv != 0)
+                off = self._reloc_off()
                 self.state = (self._step_nr if off else self._step)(
                     self.state, p)
                 took = 1
+                self._since_reloc = self._since_reloc + 1 if off else 0
+            if window:
+                # windows relocate first then group by iv: the tail of a
+                # length-L window has (L-1) % iv un-relocated steps
+                self._since_reloc = ((took - 1) % self._reloc_iv
+                                     if self._reloc_iv > 1 else 0)
             self._steps_done += took
             done += took
             if sync_every and done % sync_every == 0:
@@ -365,9 +390,12 @@ class TiledEngine:
                 self.state = self._insert(
                     self.state, np.asarray(pos)[small],
                     np.asarray(radii)[small], np.asarray(ids)[small])
-            self._insert_bigs(np.asarray(pos)[~small],
-                              np.asarray(radii)[~small],
-                              np.asarray(ids)[~small])
+            if (~small).any():
+                # only build the overlay (and the pricier hybrid step)
+                # when an oversized particle actually arrived
+                self._insert_bigs(np.asarray(pos)[~small],
+                                  np.asarray(radii)[~small],
+                                  np.asarray(ids)[~small])
         if verbose:
             print(f"Total particles: {self.num_particles()}")
         return self.state

@@ -99,19 +99,15 @@ def window_halfwidth(config: SimConfig) -> int:
 
 
 def _pair(dx, dy, ri, rj, stiffness):
-    """Reference pair correction magnitudes (collision_solver.wgsl:91-111).
-    Returns (cx, cy, wi, wj, colliding) — caller applies +c*wi to i and
-    -c*wj to j."""
-    dist = jnp.sqrt(dx * dx + dy * dy)
-    rsum = ri + rj
-    colliding = (rsum * rsum > dist * dist) & (dist > MIN_DISTANCE)
-    safe = jnp.maximum(dist, MIN_DISTANCE)
-    pen = rsum - dist
-    cx = dx / safe * pen * stiffness
-    cy = dy / safe * pen * stiffness
-    wi = rj / jnp.maximum(rsum, MIN_DISTANCE)
-    wj = ri / jnp.maximum(rsum, MIN_DISTANCE)
-    return cx, cy, wi, wj, colliding
+    """Weighted pair corrections for a separation (dx, dy) — delegates to
+    ops/collision._pair_correction, the single home of the reference
+    pair formula (collision_solver.wgsl:91-111).  Returns
+    (dxi, dyi, dxj, dyj, colliding): apply +(dxi, dyi) to i and
+    -(dxj, dyj) to j."""
+    from gpu_physics_engine_tpu.ops.collision import _pair_correction
+    return _pair_correction(dx, dy, ri,
+                            jnp.zeros_like(dx), jnp.zeros_like(dy), rj,
+                            stiffness)
 
 
 def couple_bigs(tiles: TileState, big: BigState,
@@ -125,12 +121,12 @@ def couple_bigs(tiles: TileState, big: BigState,
     # ---- big-big: all pairs on [B] ----
     dx = bx[:, None] - bx[None, :]
     dy = by[:, None] - by[None, :]
-    cx, cy, wi, _, hit = _pair(dx, dy, br[:, None], br[None, :], stiffness)
+    cxi, cyi, _, _, hit = _pair(dx, dy, br[:, None], br[None, :], stiffness)
     B = big.capacity
     valid = (hit & bocc[:, None] & bocc[None, :]
              & ~jnp.eye(B, dtype=bool))
-    dbx = jnp.sum(jnp.where(valid, cx * wi, 0.0), axis=1)
-    dby = jnp.sum(jnp.where(valid, cy * wi, 0.0), axis=1)
+    dbx = jnp.sum(jnp.where(valid, cxi, 0.0), axis=1)
+    dby = jnp.sum(jnp.where(valid, cyi, 0.0), axis=1)
 
     # ---- big-small: per-big gather window over the tile grid ----
     t, TY, TX = tile_geometry(config)
@@ -151,11 +147,11 @@ def couple_bigs(tiles: TileState, big: BigState,
 
     ddx = bx[:, None, None, None] - gx
     ddy = by[:, None, None, None] - gy
-    scx, scy, swi, swj, shit = _pair(
+    sxi, syi, sxj, syj, shit = _pair(
         ddx, ddy, br[:, None, None, None], gr, stiffness)
     svalid = shit & bocc[:, None, None, None] & (gp >= 0)
-    dbx = dbx + jnp.sum(jnp.where(svalid, scx * swi, 0.0), axis=(1, 2, 3))
-    dby = dby + jnp.sum(jnp.where(svalid, scy * swi, 0.0), axis=(1, 2, 3))
+    dbx = dbx + jnp.sum(jnp.where(svalid, sxi, 0.0), axis=(1, 2, 3))
+    dby = dby + jnp.sum(jnp.where(svalid, syi, 0.0), axis=(1, 2, 3))
 
     # partners' share scattered back into the grid (flat 1D indices —
     # 2-index advanced indexing is ~100 ms/pass on TPU, DESIGN.md)
@@ -164,8 +160,8 @@ def couple_bigs(tiles: TileState, big: BigState,
     wx = jnp.arange(win, dtype=_I32)[None, None, None, :]
     flat = (k * TY * TX + (sy[:, None, None, None] + wy) * TX
             + (sx[:, None, None, None] + wx)).reshape(-1)
-    updx = jnp.where(svalid, -scx * swj, 0.0).reshape(-1)
-    updy = jnp.where(svalid, -scy * swj, 0.0).reshape(-1)
+    updx = jnp.where(svalid, -sxj, 0.0).reshape(-1)
+    updy = jnp.where(svalid, -syj, 0.0).reshape(-1)
     nx = tiles.x.reshape(-1).at[flat].add(updx).reshape(tiles.dims)
     ny = tiles.y.reshape(-1).at[flat].add(updy).reshape(tiles.dims)
 
@@ -222,7 +218,11 @@ def hybrid_step_fn(tiles: TileState, big: BigState, params: StepParams,
     from gpu_physics_engine_tpu.ops.tiled import tiled_step_fn
     tiles, big = couple_bigs(tiles, big, config)
     tiles = tiled_step_fn(tiles, params, config, do_relocate=do_relocate)
-    big = integrate_bigs(big, params, config)
+    # mirror the tile integration's substep split (dt/substeps each) so
+    # bigs and smalls accumulate the same per-frame gravity displacement
+    for _ in range(config.substeps):
+        big = integrate_bigs(big, params, config,
+                             dt_scale=1.0 / config.substeps)
     return tiles, big
 
 

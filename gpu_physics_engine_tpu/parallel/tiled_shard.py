@@ -84,14 +84,22 @@ def init_sharded_tiles(config: SimConfig, mesh: Mesh, positions, radii
 
 
 def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
-                               do_relocate: bool = True):
+                               do_relocate: bool = True,
+                               relocate_only: bool = False):
     """``do_relocate=False`` builds the off-step of
     SimConfig.tiled_relocate_interval: halo exchange + collide +
     integrate only — relocation AND boundary-crosser migration are
     skipped together (both only move storage; positions stay exact and
     the auto hysteresis reserved (interval-1) steps of drift, so every
     particle's 3x3 storage neighborhood — including cross-slab halo
-    rows — still covers its pair set)."""
+    rows — still covers its pair set).
+
+    ``relocate_only=True`` builds the periodic EXACT sweep (TiledEngine
+    parity: the claim relocate handles arbitrary jumps, so it runs at
+    the Morton-resort cadence as the multi-hop-staleness safety net for
+    the one-hop pull relocate): no physics, just the exact jnp
+    relocation + cross-slab migration, one slab hop per invocation."""
+    assert not (relocate_only and not do_relocate)
     axis = config.mesh_axis
     n = mesh.devices.size
     t, TYp, TX, rows = sharded_tile_geometry(config, n)
@@ -137,7 +145,7 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
             x=x, y=y, px=px, py=py, radius=r, pid=pid,
             num_active=num_active, overflow_count=dropped)
 
-        for _ in range(config.substeps):
+        for _ in range(0 if relocate_only else config.substeps):
             # ---- 1. halo rows + collide (+integrate) on the extended slab
             occ = (local.pid >= 0).astype(jnp.float32)
             ext_fields = []
@@ -263,7 +271,7 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
                 total_drop += jnp.sum((live_c & ~confirm).astype(_I32))
             return local
 
-        if pallas_reloc:
+        if pallas_reloc and not relocate_only:
             # pull relocation on the slab: ship the one-hop boundary
             # crossers first, then the bufferless band kernels handle every
             # in-slab mover (ops/tiled_pallas.py — slab coords via row0).
@@ -465,6 +473,25 @@ class ShardedTiledEngine:
         # distinct length is a fresh slow compile (see TiledEngine)
         self._scan_remainders = jax.default_backend() == "tpu"
         self._step = _step
+        # periodic EXACT relocate sweep (TiledEngine parity): the pull
+        # relocate is one-hop, so multi-hop-stale movers need the exact
+        # claim sweep at the Morton-resort cadence as the safety net
+        pallas_reloc = config.tiled_relocate == "pallas" or (
+            config.tiled_relocate == "auto"
+            and jax.default_backend() == "tpu")
+        self._sweep_interval = config.sort_interval_steps
+        if pallas_reloc and not self._sweep_interval:
+            self._sweep_interval = 240
+        if pallas_reloc:
+            sweep_fn = make_sharded_tiled_step_fn(config, self.mesh,
+                                                  relocate_only=True)
+            self._sweep = jax.jit(
+                lambda s, p: sweep_fn(s, p)[0], donate_argnums=0)
+        else:
+            # the jnp relocation is already exact every step
+            self._sweep = None
+            self._sweep_interval = 0
+        self._steps_done = 0
         self._insert = make_sharded_insert(config, self.mesh)
         self._next_pid = n
         # cumulative per-chip deferral/drop counts (i32[n_shards]) — the
@@ -490,16 +517,30 @@ class ShardedTiledEngine:
         """Cumulative deferral/drop count per chip (host fetch)."""
         return np.asarray(self._drops_dev, np.int64)
 
+    def _maybe_sweep(self, p):
+        if (self._sweep_interval and self._steps_done
+                and self._steps_done % self._sweep_interval == 0):
+            self.state = self._sweep(self.state, p)
+
     def step(self, params=None):
-        self.state, drops = self._step(self.state, params or self.params())
+        p = params or self.params()
+        self._maybe_sweep(p)
+        self.state, drops = self._step(self.state, p)
         self._drops_dev = self._drops_dev + drops
+        self._steps_done += 1
         return self.state
 
     def run(self, n_steps: int):
         p = self.params()
         done = 0
         while done < n_steps:
+            self._maybe_sweep(p)
             bound = n_steps - done
+            # stay inside the sweep cadence (TiledEngine parity)
+            if self._sweep_interval:
+                rem = self._steps_done % self._sweep_interval
+                bound = min(bound, self._sweep_interval - rem
+                            if rem else self._sweep_interval)
             if bound >= self.CHUNK:
                 self.state, drops = self._chunk(self.state, p)
                 took = self.CHUNK
@@ -510,6 +551,7 @@ class ShardedTiledEngine:
                 self.state, drops = self._step(self.state, p)
                 took = 1
             self._drops_dev = self._drops_dev + drops
+            self._steps_done += took
             done += took
             self.timer.get_delta(frames=took)
         return self.state

@@ -413,3 +413,31 @@ def test_sharded_tiled_relocate_interval(mesh8):
     o1 = np.argsort(p1)
     o2 = np.argsort(p2)
     np.testing.assert_allclose(x1[o1], x2[o2], atol=2e-3)
+
+
+def test_sharded_tiled_periodic_exact_sweep(mesh8):
+    """TiledEngine parity: with the pallas pull relocate, the sharded
+    engine runs the exact claim sweep at the sort cadence (the multi-hop
+    staleness safety net).  The sweep moves storage, never positions —
+    trajectories match a no-sweep run to float tolerance and everyone
+    survives."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel.tiled_shard import (
+        ShardedTiledEngine)
+
+    kw = dict(initial_particles=160, gravity=(0.0, -30.0),
+              tiled_relocate="pallas", tiled_match="flip")
+    e1 = ShardedTiledEngine(_tcfg(sort_interval_steps=0, **kw),
+                            mesh=mesh8, seed=3)
+    e2 = ShardedTiledEngine(_tcfg(sort_interval_steps=4, **kw),
+                            mesh=mesh8, seed=3)
+    assert e1._sweep_interval == 240 and e1._sweep is not None
+    assert e2._sweep_interval == 4
+    e1.run(10)
+    e2.run(10)  # sweeps fire at steps 4 and 8
+    p1, x1, _, _ = export_particles(e1.state)
+    p2, x2, _, _ = export_particles(e2.state)
+    assert len(p1) == len(p2) == 160
+    o1, o2 = np.argsort(p1), np.argsort(p2)
+    np.testing.assert_allclose(x1[o1], x2[o2], atol=2e-3)
+    assert np.isfinite(x2).all()

@@ -587,3 +587,32 @@ def test_relocate_interval_reserves_hysteresis_margin():
             <= t + 1e-6)
     with pytest.raises(AssertionError):
         _cfg(tiled_solver="gs", tiled_relocate_interval=2)
+
+
+def test_relocate_interval_counter_never_exceeds_reserve():
+    """Mixed step()/run() sequences must never stack more than
+    (interval-1) consecutive un-relocated steps — the auto hysteresis
+    only reserved that much drift.  (Regression: absolute-phase step()
+    after a run() window, whose group pattern restarts at the window
+    boundary, could stack up to 2*(interval-1).)"""
+    kw = dict(initial_particles=64, tile_cap=8, tiled_collide="jnp",
+              tiled_relocate="pallas", tiled_match="flip",
+              tiled_relocate_interval=4)
+    eng = TiledEngine(_cfg(**kw), seed=1, chunk=8)
+    iv = eng._reloc_iv
+    assert iv == 4
+
+    def check():
+        assert 0 <= eng._since_reloc <= iv - 1, eng._since_reloc
+
+    eng.step(); check()          # first step relocates (counter forced)
+    eng.step(); check()
+    eng.run(8); check()          # full chunk window
+    assert eng._since_reloc == (8 - 1) % iv   # window tail = 3 off-steps
+    eng.step(); check()          # MUST relocate now (reserve spent)
+    assert eng._since_reloc == 0
+    eng.run(6)                   # CPU: falls to single steps
+    check()
+    eng.run(16); check()
+    for _ in range(9):
+        eng.step(); check()
