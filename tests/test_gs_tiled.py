@@ -257,3 +257,34 @@ def test_gs_tiled_occupancy_clamp_matches_model():
     want = _model_positions(pos, radii, cell_size=1.1, K=4)
     np.testing.assert_array_equal(got, want.astype(np.float32))
     assert overflow > 0
+
+
+def test_gs_engine_mx_layout_matches_flat_engine():
+    """End-to-end wiring: a TiledEngine with tiled_solver='gs' and
+    gs_layout='mx' produces bit-identical trajectories to gs_layout=
+    'flat' (the mx relayouts are bit-faithful, so the ENGINES must
+    agree exactly, not just the isolated solves).  Small cap/K world
+    per the compile-cost discipline (CLAUDE.md)."""
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+
+    rng = np.random.default_rng(7)
+    n = 90
+    w, h = 12.0, 8.0
+    pos = np.stack([rng.uniform(0.6, w - 0.6, n),
+                    rng.uniform(0.6, h - 0.6, n)], -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+    base = SimConfig(max_particles=n, initial_particles=n,
+                     world_width=w, world_height=h, initial_radius=0.5,
+                     pipeline="tiled", tiled_solver="gs",
+                     tile_multiplier=2.2, tile_cap=4, max_occupancy=4,
+                     sort_interval_steps=0, tiled_collide="jnp",
+                     tiled_relocate="jnp", gravity=(0.0, -20.0))
+    ef = TiledEngine.from_arrays(base.replace(gs_layout="flat"),
+                                 pos, radii)
+    em = TiledEngine.from_arrays(base.replace(gs_layout="mx"),
+                                 pos, radii)
+    ef.run(6)
+    em.run(6)
+    np.testing.assert_array_equal(ef.positions(), em.positions())
+    assert (int(ef.state.overflow_count) == int(em.state.overflow_count))
