@@ -194,4 +194,11 @@ def tiled_phase_breakdown(config, state, params, repeats: int = 5,
            state, params)
     timeit("particle_integration",
            lambda s, p: tiled.integrate(s, p, config), state, params)
+    if config.tiled_solver == "gs":
+        # the reference-parity solver (frozen-membership 4-color GS) in
+        # the configured layout — rank + 4x(solve+apply) (+ relayouts
+        # for gs_layout="mx"/"dec"); see PERF.md "GS parity solver"
+        from gpu_physics_engine_tpu.ops.gs_pallas import gs_solve_pallas
+        timeit("gs_solve (pallas, gs_layout=%s)" % config.gs_layout,
+               partial(gs_solve_pallas, config=config), state)
     return timings
