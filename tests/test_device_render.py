@@ -125,3 +125,19 @@ def test_offcenter_sparse_particle_always_visible():
     err2 = np.hypot(c2[0] - true[0, 0], c2[1] - true[0, 1])
     assert err1 < t  # S=1: within one tile (sample quantization)
     assert err2 < 0.75 * t  # S=2: strictly finer than tile quantization
+
+
+def test_render_throughput_window_runs():
+    """The scanned multi-frame measurement program (the honest device
+    frame clock on tunneled runtimes) compiles and returns a positive
+    per-frame time."""
+    from gpu_physics_engine_tpu.render.device import render_throughput_ms
+
+    cfg = _cfg(max_particles=64, initial_particles=0)
+    rng = np.random.default_rng(1)
+    pos = np.stack([rng.uniform(1.0, 43.0, 48),
+                    rng.uniform(1.0, 21.0, 48)], -1).astype(np.float32)
+    eng, cfg = _engine(pos, np.full(48, 0.5, np.float32))
+    ms = render_throughput_ms(eng.state, cfg, frames=4,
+                              width=128, height=64)
+    assert np.isfinite(ms) and ms > 0
