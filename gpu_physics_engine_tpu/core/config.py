@@ -173,6 +173,17 @@ class SimConfig:
     # only after scripts/tpu_probe_gsmx.py's raw_f32_onehot_exact check
     # confirms exactness on the target chip.  Int planes always split.
     gs_mx_split: bool = True
+    # GS rank kernel implementation (ops/gs_pallas.py):
+    #   "minloop" — K rounds of min-select over all 9*cap candidate
+    #               streams with taken-bookkeeping (~K*9*cap*6 VPU ops).
+    #   "net"     — pack (pid, source code) into one int32 key and select
+    #               the K smallest via Batcher group sorters + truncated
+    #               bitonic merges (pure i32 min/max; ~40% fewer ops).
+    #               Requires (max_particles << code_bits) to fit in int31;
+    #               bit-identical outputs to "minloop" (unique pids).
+    #   "auto"    — minloop until "net" is hardware-verified
+    #               (scripts/tpu_probe_gsrank.py), then flipped here.
+    gs_rank: str = "auto"
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
     # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover
@@ -230,6 +241,7 @@ class SimConfig:
                     and self.tiled_relocate_interval > 1), (
             "the GS parity solver requires storage == home every step")
         assert self.gs_layout in ("auto", "dec", "flat", "mx")
+        assert self.gs_rank in ("auto", "minloop", "net")
         assert 1 <= self.render_supersample <= 4
         assert self.world_shape in ("box", "circle")
         assert self.max_cells_per_object == 4, "2D: home + 3 phantom cells"

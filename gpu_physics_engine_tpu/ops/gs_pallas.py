@@ -99,10 +99,14 @@ def _sweep(lx, ly, lr, lpid, active, stiffness, one):
     return lx, ly
 
 
-def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-                 src_ref, rpid_ref, rrad_ref, count_ref,
-                 *, cap: int, K: int, t: float):
-    one = one_ref[0]
+def _member_streams(one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+                    cap: int, t: float):
+    """Shared rank preamble: per cell, the 9*cap candidate streams with
+    the reference circle-vs-AABB membership (grid.wgsl:117-129) applied.
+    Returns (streams, count): streams = [(pid_masked, rad, code)] where
+    pid_masked is the candidate's pid or _BIGPID for non-members, count =
+    the per-cell member total (overflow accounting).  Used by both rank
+    kernel implementations so their membership math is op-identical."""
     x_rows = _rows3(xu[...], xm[...], xd[...])
     y_rows = _rows3(yu[...], ym[...], yd[...])
     r_rows = _rows3(ru[...], rm[...], rd[...])
@@ -117,7 +121,11 @@ def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
     lox = (tx - 1).astype(jnp.float32) * tf  # my cell's AABB (world coords)
     loy = (ty - 1).astype(jnp.float32) * tf
 
-    # membership per (j, s): circle strictly overlaps my cell's AABB
+    # membership per (j, s): circle strictly overlaps my cell's AABB.
+    # NOTE: the full 2D clip is load-bearing even on axis-aligned
+    # neighbors — under pull-relocate hysteresis a candidate may be
+    # stored one tile off its home, so its center is NOT confined to the
+    # storage tile's AABB and no per-offset specialization is valid.
     streams = []  # (pid_masked, rad, code)
     for j, (dy, dx) in enumerate(_OFFS):
         x_e = _view(x_rows, dy, dx)
@@ -139,6 +147,16 @@ def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
     count = jnp.zeros(shape1, jnp.int32)
     for pid_m, _, _ in streams:
         count = count + (pid_m < _BIGPID).astype(jnp.int32)
+    return streams, count
+
+
+def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+                 src_ref, rpid_ref, rrad_ref, count_ref,
+                 *, cap: int, K: int, t: float):
+    one = one_ref[0]
+    streams, count = _member_streams(
+        one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, cap, t)
+    shape1 = count.shape
 
     taken = [jnp.zeros(shape1, bool) for _ in streams]
     src_out, pid_out, rad_out = [], [], []
@@ -163,6 +181,161 @@ def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
     rpid_ref[...] = jnp.concatenate(pid_out, axis=0)
     rrad_ref[...] = jnp.concatenate(rad_out, axis=0)
     count_ref[...] = count[0]
+
+
+# ---------------------------------------------------------------------------
+# rank v2 ("net"): packed-key selection network
+# ---------------------------------------------------------------------------
+#
+# The minloop rank pays K rounds x 9*cap candidates of min+match+select
+# (~K*9*cap*6 VPU ops/cell) — the dominant GS phase once the solve is
+# color-decomposed (7.9 of 25.2 ms @1M, PERF.md).  With unique pids the
+# same selection is a pure KEY problem: pack (pid << code_bits) | code
+# into one int32 (members only, else INT32_MAX), then the K smallest
+# keys ascending ARE the ranked occupants, source codes included.  Keys
+# sort with payload-free compare-exchanges (2 ops: min + max):
+#   1. Batcher odd-even sorters over groups of m = 2^ceil(log2 max(K,4))
+#   2. a tree of truncated merges: of two ascending m-lists, the m
+#      smallest are {min(A[i], B[m-1-i])} (bitonic half-cleaner on
+#      A ++ reverse(B)), a bitonic list one log2(m)-stage merger sorts.
+# Radii are resolved once at the end by matching the K source codes
+# against the 9*cap streams.  Output is bit-identical to the minloop
+# kernel (unique pids make the K-smallest selection unambiguous); the
+# oracle tests assert it (tests/test_gs_rank.py).
+
+
+def _oes_pairs(n: int):
+    """Batcher odd-even mergesort compare-exchange pairs (i < j) for a
+    power-of-two n; applying min->i / max->j in order sorts ascending."""
+    assert n >= 1 and (n & (n - 1)) == 0
+    pairs = []
+
+    def merge(lo, m, r):
+        step = r * 2
+        if step < m:
+            merge(lo, m, step)
+            merge(lo + r, m, step)
+            pairs.extend((i, i + r) for i in range(lo + r, lo + m - r, step))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, m):
+        if m > 1:
+            h = m // 2
+            sort(lo, h)
+            sort(lo + h, h)
+            merge(lo, m, 1)
+
+    sort(0, n)
+    return pairs
+
+
+def _bitonic_stages(m: int):
+    """Compare-exchange pairs per stage of the bitonic merger for a
+    power-of-two m: sorts any bitonic sequence ascending."""
+    stages = []
+    d = m // 2
+    while d >= 1:
+        stages.append([(i, i + d) for i in range(m) if (i % (2 * d)) < d])
+        d //= 2
+    return stages
+
+
+def _sort_keys(keys):
+    """In-place Batcher sort of a power-of-two list of key arrays."""
+    for i, j in _oes_pairs(len(keys)):
+        lo = jnp.minimum(keys[i], keys[j])
+        hi = jnp.maximum(keys[i], keys[j])
+        keys[i], keys[j] = lo, hi
+    return keys
+
+
+def _topm_merge(a, b):
+    """The m smallest of two ascending m-lists, ascending (m = 2^k).
+    min(a[i], b[m-1-i]) is the half-cleaner of the bitonic a ++ rev(b):
+    it holds the m smallest as a multiset and is itself bitonic."""
+    m = len(a)
+    vals = [jnp.minimum(a[i], b[m - 1 - i]) for i in range(m)]
+    for stage in _bitonic_stages(m):
+        for i, j in stage:
+            lo = jnp.minimum(vals[i], vals[j])
+            hi = jnp.maximum(vals[i], vals[j])
+            vals[i], vals[j] = lo, hi
+    return vals
+
+
+def _rank_kernel_net(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+                     src_ref, rpid_ref, rrad_ref, count_ref,
+                     *, cap: int, K: int, t: float, shift: int):
+    one = one_ref[0]
+    streams, count = _member_streams(
+        one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, cap, t)
+    shape1 = count.shape
+
+    sh = jnp.int32(1 << shift)
+    keys = [jnp.where(pid_m < _BIGPID, pid_m * sh + code, _BIGPID)
+            for pid_m, _, code in streams]
+
+    m = 1 << max(2, (max(K, 1) - 1).bit_length())  # group size >= max(K, 4)
+    groups = []
+    for g0 in range(0, len(keys), m):
+        grp = keys[g0:g0 + m]
+        while len(grp) < m:
+            grp.append(jnp.full(shape1, _BIGPID, jnp.int32))
+        groups.append(_sort_keys(grp))
+    top = groups[0]
+    for grp in groups[1:]:
+        top = _topm_merge(top, grp)
+
+    src_out, pid_out, rad_out = [], [], []
+    for q in range(K):
+        key_q = top[q] if q < len(top) else jnp.full(
+            shape1, _BIGPID, jnp.int32)
+        valid = key_q < _BIGPID
+        src_q = jnp.where(valid, jnp.bitwise_and(key_q, sh - 1), -1)
+        rad_q = jnp.zeros(shape1, jnp.float32)
+        for _, cr, code in streams:
+            rad_q = jnp.where(src_q == code, cr, rad_q)
+        src_out.append(src_q)
+        pid_out.append(jnp.where(
+            valid,
+            jax.lax.shift_right_logical(key_q, jnp.int32(shift)),
+            _BIGPID))
+        rad_out.append(rad_q)
+
+    src_ref[...] = jnp.concatenate(src_out, axis=0)
+    rpid_ref[...] = jnp.concatenate(pid_out, axis=0)
+    rrad_ref[...] = jnp.concatenate(rad_out, axis=0)
+    count_ref[...] = count[0]
+
+
+def _net_shift(cap: int) -> int:
+    """Bits reserved for the source code (9*cap candidates)."""
+    return max(1, (9 * cap - 1).bit_length())
+
+
+def _net_fits(config: SimConfig, cap: int) -> bool:
+    """Keys must stay below _BIGPID (the non-member sentinel)."""
+    shift = _net_shift(cap)
+    return ((config.max_particles - 1) << shift) + 9 * cap - 1 < _BIGPID
+
+
+def _rank_partial(config: SimConfig, cap: int, K: int, t: float):
+    """Resolve SimConfig.gs_rank to a rank kernel for pallas_call (both
+    implementations share signature, specs and bit-identical outputs)."""
+    impl = config.gs_rank
+    if impl == "auto":
+        # minloop until "net" is hardware-verified (tpu_probe_gsrank.py)
+        impl = "minloop"
+    if impl == "net":
+        if not _net_fits(config, cap):
+            raise ValueError(
+                f"gs_rank='net' needs (max_particles << {_net_shift(cap)})"
+                f" to fit int31; max_particles={config.max_particles},"
+                f" cap={cap} does not — use gs_rank='minloop'")
+        return partial(_rank_kernel_net, cap=cap, K=K, t=t,
+                       shift=_net_shift(cap))
+    return partial(_rank_kernel, cap=cap, K=K, t=t)
 
 
 def _solve_kernel(one_ref, xu, xm, xd, yu, ym, yd, src, rpid, rrad,
@@ -242,6 +415,56 @@ def _apply_kernel(uxu, uxm, uxd, uyu, uym, uyd, rpu, rpm, rpd,
     oy_ref[...] = jnp.concatenate(newy, axis=0)
 
 
+def _rank_full(config: SimConfig, one, x, y, r, pid, cap: int, K: int,
+               t: float):
+    """Pad the full grid to a BAND-row multiple and run the rank kernel
+    (implementation per SimConfig.gs_rank).  Returns
+    (x, y, src, rpid, rrad, count) with the pad rows retained — shared by
+    the flat/dec/mx drivers, the oracle tests and the hardware probes."""
+    TX = x.shape[2]
+    TY = x.shape[1]
+    pad = (-TY) % BAND
+    if pad:
+        width = ((0, 0), (0, pad), (0, 0))
+        x = jnp.pad(x, width)
+        y = jnp.pad(y, width)
+        r = jnp.pad(r, width)
+        pid = jnp.pad(pid, width, constant_values=-1)
+    TYp = TY + pad
+    nb = TYp // BAND
+
+    def mid(i):
+        return (0, i, 0)
+
+    def spec3(c):
+        def up(i):
+            return (0, jnp.maximum(i - 1, 0), 0)
+
+        def dn(i):
+            return (0, jnp.minimum(i + 1, nb - 1), 0)
+        return [pl.BlockSpec((c, BAND, TX), m, memory_space=pltpu.VMEM)
+                for m in (up, mid, dn)]
+
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    src, rpid, rrad, count = pl.pallas_call(
+        _rank_partial(config, cap, K, t),
+        grid=(nb,),
+        in_specs=[smem] + spec3(cap) * 4,
+        out_specs=(pl.BlockSpec((K, BAND, TX), mid,
+                                memory_space=pltpu.VMEM),) * 3 + (
+            pl.BlockSpec((BAND, TX), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),),
+        out_shape=(_sds((K, TYp, TX), jnp.int32),
+                   _sds((K, TYp, TX), jnp.int32),
+                   _sds((K, TYp, TX), jnp.float32),
+                   _sds((TYp, TX), jnp.int32)),
+        compiler_params=vmem,
+        interpret=_interpret(),
+    )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
+    return x, y, src, rpid, rrad, count
+
+
 def gs_solve_pallas(state: TileState, config: SimConfig) -> TileState:
     """Reference-parity GS solve, Pallas band kernels.  Dispatches on
     SimConfig.gs_layout: "flat" = full-grid checkerboard-masked kernels
@@ -272,15 +495,16 @@ def gs_solve_pallas_flat(state: TileState, config: SimConfig) -> TileState:
     t, TY, TX = tile_geometry(config)
     cap = state.dims[0]
     K = config.max_occupancy
-    pad = (-TY) % BAND
-    x, y, r, pid = state.x, state.y, state.radius, state.pid
-    if pad:
-        width = ((0, 0), (0, pad), (0, 0))
-        x = jnp.pad(x, width)
-        y = jnp.pad(y, width)
-        r = jnp.pad(r, width)
-        pid = jnp.pad(pid, width, constant_values=-1)
-    TYp = TY + pad
+    # traced 1.0 for the fma-contraction guard (_noc)
+    one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
+                    jnp.float32(2.0)).reshape((1,))
+    x, y, src, rpid, rrad, count = _rank_full(
+        config, one, state.x, state.y, state.radius, state.pid, cap, K, t)
+    pid = state.pid
+    if x.shape[1] != TY:
+        pid = jnp.pad(pid, ((0, 0), (0, x.shape[1] - TY), (0, 0)),
+                      constant_values=-1)
+    TYp = x.shape[1]
     nb = TYp // BAND
 
     def up(i):
@@ -301,24 +525,6 @@ def gs_solve_pallas_flat(state: TileState, config: SimConfig) -> TileState:
 
     vmem = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # traced 1.0 for the fma-contraction guard (_noc)
-    one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
-                    jnp.float32(2.0)).reshape((1,))
-
-    src, rpid, rrad, count = pl.pallas_call(
-        partial(_rank_kernel, cap=cap, K=K, t=t),
-        grid=(nb,),
-        in_specs=[smem] + spec3(cap) * 4,
-        out_specs=(spec1(K), spec1(K), spec1(K),
-                   pl.BlockSpec((BAND, TX), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(_sds((K, TYp, TX), jnp.int32),
-                   _sds((K, TYp, TX), jnp.int32),
-                   _sds((K, TYp, TX), jnp.float32),
-                   _sds((TYp, TX), jnp.int32)),
-        compiler_params=vmem,
-        interpret=_interpret(),
-    )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
 
     overflow = jnp.sum(jnp.maximum(count - K, 0))
 
@@ -347,7 +553,7 @@ def gs_solve_pallas_flat(state: TileState, config: SimConfig) -> TileState:
             interpret=_interpret(),
         )(ux, ux, ux, uy, uy, uy, rpid, rpid, rpid, x, y, pid)
 
-    if pad:
+    if TYp != TY:
         x = x[:, :TY]
         y = y[:, :TY]
     return dataclasses.replace(
@@ -530,49 +736,12 @@ def gs_solve_pallas_dec(state: TileState, config: SimConfig) -> TileState:
     TYi, TXi, TYe, TXe, H, W, DYp, DX = _dec_geometry(TY, TX)
 
     # ---- rank (full space, shared with the flat formulation) ----
-    pad = (-TY) % BAND
-    x, y, r, pid = state.x, state.y, state.radius, state.pid
-    if pad:
-        width = ((0, 0), (0, pad), (0, 0))
-        x = jnp.pad(x, width)
-        y = jnp.pad(y, width)
-        r = jnp.pad(r, width)
-        pid = jnp.pad(pid, width, constant_values=-1)
-    TYp = TY + pad
-    nb_full = TYp // BAND
-
-    def mid_full(i):
-        return (0, i, 0)
-
-    def spec3f(c):
-        def up(i):
-            return (0, jnp.maximum(i - 1, 0), 0)
-
-        def dn(i):
-            return (0, jnp.minimum(i + 1, nb_full - 1), 0)
-        return [pl.BlockSpec((c, BAND, TX), m, memory_space=pltpu.VMEM)
-                for m in (up, mid_full, dn)]
-
     vmem = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
                     jnp.float32(2.0)).reshape((1,))
-
-    src, rpid, rrad, count = pl.pallas_call(
-        partial(_rank_kernel, cap=cap, K=K, t=t),
-        grid=(nb_full,),
-        in_specs=[smem] + spec3f(cap) * 4,
-        out_specs=(pl.BlockSpec((K, BAND, TX), mid_full,
-                                memory_space=pltpu.VMEM),) * 3 + (
-            pl.BlockSpec((BAND, TX), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),),
-        out_shape=(_sds((K, TYp, TX), jnp.int32),
-                   _sds((K, TYp, TX), jnp.int32),
-                   _sds((K, TYp, TX), jnp.float32),
-                   _sds((TYp, TX), jnp.int32)),
-        compiler_params=vmem,
-        interpret=_interpret(),
-    )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
+    _, _, src, rpid, rrad, count = _rank_full(
+        config, one, state.x, state.y, state.radius, state.pid, cap, K, t)
     overflow = jnp.sum(jnp.maximum(count - K, 0))
 
     # ---- decompose to parity sub-grids ----
@@ -832,50 +1001,14 @@ def gs_solve_pallas_mx(state: TileState, config: SimConfig) -> TileState:
     _, _, DYp, DX = _mx_geometry(TY, TX)
 
     # ---- rank (full space, identical to the flat/dec formulations) ----
-    pad = (-TY) % BAND
-    x, y, r, pid = state.x, state.y, state.radius, state.pid
-    if pad:
-        width = ((0, 0), (0, pad), (0, 0))
-        x = jnp.pad(x, width)
-        y = jnp.pad(y, width)
-        r = jnp.pad(r, width)
-        pid = jnp.pad(pid, width, constant_values=-1)
-    TYb = TY + pad
-    nb_full = TYb // BAND
-
-    def mid_full(i):
-        return (0, i, 0)
-
-    def spec3f(c):
-        def up(i):
-            return (0, jnp.maximum(i - 1, 0), 0)
-
-        def dn(i):
-            return (0, jnp.minimum(i + 1, nb_full - 1), 0)
-        return [pl.BlockSpec((c, BAND, TX), m, memory_space=pltpu.VMEM)
-                for m in (up, mid_full, dn)]
-
     vmem = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
                     jnp.float32(2.0)).reshape((1,))
-
     with jax.named_scope("gs_rank"):
-        src, rpid, rrad, count = pl.pallas_call(
-            partial(_rank_kernel, cap=cap, K=K, t=t),
-            grid=(nb_full,),
-            in_specs=[smem] + spec3f(cap) * 4,
-            out_specs=(pl.BlockSpec((K, BAND, TX), mid_full,
-                                    memory_space=pltpu.VMEM),) * 3 + (
-                pl.BlockSpec((BAND, TX), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),),
-            out_shape=(_sds((K, TYb, TX), jnp.int32),
-                       _sds((K, TYb, TX), jnp.int32),
-                       _sds((K, TYb, TX), jnp.float32),
-                       _sds((TYb, TX), jnp.int32)),
-            compiler_params=vmem,
-            interpret=_interpret(),
-        )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
+        _, _, src, rpid, rrad, count = _rank_full(
+            config, one, state.x, state.y, state.radius, state.pid,
+            cap, K, t)
     overflow = jnp.sum(jnp.maximum(count - K, 0))
 
     # ---- decompose (rank pad rows already hold the fill values) ----
