@@ -176,11 +176,11 @@ class SimConfig:
     # GS rank kernel implementation (ops/gs_pallas.py):
     #   "minloop" — K rounds of min-select over all 9*cap candidate
     #               streams with taken-bookkeeping (~K*9*cap*6 VPU ops).
-    #   "net"     — pack (pid, source code) into one int32 key and select
-    #               the K smallest via Batcher group sorters + truncated
-    #               bitonic merges (pure i32 min/max; ~40% fewer ops).
-    #               Requires (max_particles << code_bits) to fit in int31;
-    #               bit-identical outputs to "minloop" (unique pids).
+    #   "net"     — select the K smallest member pids via Batcher group
+    #               sorters + truncated bitonic merges (pure i32 min/max
+    #               compare-exchanges; ~33% fewer rank ops), then recover
+    #               source codes/radii by one pid-match pass.
+    #               Bit-identical outputs to "minloop" (unique pids).
     #   "auto"    — minloop until "net" is hardware-verified
     #               (scripts/tpu_probe_gsrank.py), then flipped here.
     gs_rank: str = "auto"

@@ -184,24 +184,30 @@ def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
 
 
 # ---------------------------------------------------------------------------
-# rank v2 ("net"): packed-key selection network
+# rank v2 ("net"): pid-key selection network
 # ---------------------------------------------------------------------------
 #
 # The minloop rank pays K rounds x 9*cap candidates of min+match+select
 # (~K*9*cap*6 VPU ops/cell) — the dominant GS phase once the solve is
 # color-decomposed (7.9 of 25.2 ms @1M, PERF.md).  With unique pids the
-# same selection is a pure KEY problem: pack (pid << code_bits) | code
-# into one int32 (members only, else INT32_MAX), then the K smallest
-# keys ascending ARE the ranked occupants, source codes included.  Keys
-# sort with payload-free compare-exchanges (2 ops: min + max):
+# same selection is a pure KEY problem on the masked pids themselves
+# (members keep their pid, non-members are INT32_MAX): the K smallest
+# keys ascending ARE the ranked occupants.  Keys sort with payload-free
+# compare-exchanges (2 ops: min + max):
 #   1. Batcher odd-even sorters over groups of m = 2^ceil(log2 max(K,4))
-#   2. a tree of truncated merges: of two ascending m-lists, the m
-#      smallest are {min(A[i], B[m-1-i])} (bitonic half-cleaner on
+#   2. a balanced tree of truncated merges: of two ascending m-lists,
+#      the m smallest are {min(A[i], B[m-1-i])} (bitonic half-cleaner on
 #      A ++ reverse(B)), a bitonic list one log2(m)-stage merger sorts.
-# Radii are resolved once at the end by matching the K source codes
-# against the 9*cap streams.  Output is bit-identical to the minloop
-# kernel (unique pids make the K-smallest selection unambiguous); the
-# oracle tests assert it (tests/test_gs_rank.py).
+# Source codes and radii are recovered once at the end by matching the
+# K selected pids against the 9*cap streams (one eq + two selects per
+# candidate — the same loop the radius resolve needs anyway).  Keys are
+# NOT packed with the source code: runtime pids are only bounded by
+# int31 (spawn counters advance past refused inserts, checkpoints
+# restore arbitrary ids), so a (pid << code_bits) packing could silently
+# overflow; raw pids share minloop's exact domain.  Output is
+# bit-identical to the minloop kernel (unique pids make the K-smallest
+# selection unambiguous); the oracle tests assert it
+# (tests/test_gs_rank.py).
 
 
 def _oes_pairs(n: int):
@@ -266,58 +272,44 @@ def _topm_merge(a, b):
 
 def _rank_kernel_net(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
                      src_ref, rpid_ref, rrad_ref, count_ref,
-                     *, cap: int, K: int, t: float, shift: int):
+                     *, cap: int, K: int, t: float):
     one = one_ref[0]
     streams, count = _member_streams(
         one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, cap, t)
     shape1 = count.shape
 
-    sh = jnp.int32(1 << shift)
-    keys = [jnp.where(pid_m < _BIGPID, pid_m * sh + code, _BIGPID)
-            for pid_m, _, code in streams]
-
     m = 1 << max(2, (max(K, 1) - 1).bit_length())  # group size >= max(K, 4)
+    assert m >= K
     groups = []
-    for g0 in range(0, len(keys), m):
-        grp = keys[g0:g0 + m]
+    for g0 in range(0, len(streams), m):
+        grp = [pid_m for pid_m, _, _ in streams[g0:g0 + m]]
         while len(grp) < m:
             grp.append(jnp.full(shape1, _BIGPID, jnp.int32))
         groups.append(_sort_keys(grp))
+    while len(groups) > 1:  # balanced merge tree
+        groups = [_topm_merge(groups[i], groups[i + 1])
+                  if i + 1 < len(groups) else groups[i]
+                  for i in range(0, len(groups), 2)]
     top = groups[0]
-    for grp in groups[1:]:
-        top = _topm_merge(top, grp)
 
     src_out, pid_out, rad_out = [], [], []
     for q in range(K):
-        key_q = top[q] if q < len(top) else jnp.full(
-            shape1, _BIGPID, jnp.int32)
-        valid = key_q < _BIGPID
-        src_q = jnp.where(valid, jnp.bitwise_and(key_q, sh - 1), -1)
+        pid_q = top[q]  # == _BIGPID when fewer than q+1 members
+        valid = pid_q < _BIGPID
+        src_q = jnp.full(shape1, -1, jnp.int32)
         rad_q = jnp.zeros(shape1, jnp.float32)
-        for _, cr, code in streams:
-            rad_q = jnp.where(src_q == code, cr, rad_q)
+        for pid_m, cr, code in streams:
+            hit = valid & (pid_m == pid_q)
+            src_q = jnp.where(hit, code, src_q)
+            rad_q = jnp.where(hit, cr, rad_q)
         src_out.append(src_q)
-        pid_out.append(jnp.where(
-            valid,
-            jax.lax.shift_right_logical(key_q, jnp.int32(shift)),
-            _BIGPID))
+        pid_out.append(pid_q)
         rad_out.append(rad_q)
 
     src_ref[...] = jnp.concatenate(src_out, axis=0)
     rpid_ref[...] = jnp.concatenate(pid_out, axis=0)
     rrad_ref[...] = jnp.concatenate(rad_out, axis=0)
     count_ref[...] = count[0]
-
-
-def _net_shift(cap: int) -> int:
-    """Bits reserved for the source code (9*cap candidates)."""
-    return max(1, (9 * cap - 1).bit_length())
-
-
-def _net_fits(config: SimConfig, cap: int) -> bool:
-    """Keys must stay below _BIGPID (the non-member sentinel)."""
-    shift = _net_shift(cap)
-    return ((config.max_particles - 1) << shift) + 9 * cap - 1 < _BIGPID
 
 
 def _rank_partial(config: SimConfig, cap: int, K: int, t: float):
@@ -328,13 +320,7 @@ def _rank_partial(config: SimConfig, cap: int, K: int, t: float):
         # minloop until "net" is hardware-verified (tpu_probe_gsrank.py)
         impl = "minloop"
     if impl == "net":
-        if not _net_fits(config, cap):
-            raise ValueError(
-                f"gs_rank='net' needs (max_particles << {_net_shift(cap)})"
-                f" to fit int31; max_particles={config.max_particles},"
-                f" cap={cap} does not — use gs_rank='minloop'")
-        return partial(_rank_kernel_net, cap=cap, K=K, t=t,
-                       shift=_net_shift(cap))
+        return partial(_rank_kernel_net, cap=cap, K=K, t=t)
     return partial(_rank_kernel, cap=cap, K=K, t=t)
 
 
@@ -419,8 +405,8 @@ def _rank_full(config: SimConfig, one, x, y, r, pid, cap: int, K: int,
                t: float):
     """Pad the full grid to a BAND-row multiple and run the rank kernel
     (implementation per SimConfig.gs_rank).  Returns
-    (x, y, src, rpid, rrad, count) with the pad rows retained — shared by
-    the flat/dec/mx drivers, the oracle tests and the hardware probes."""
+    (x, y, pid, src, rpid, rrad, count) with the pad rows retained —
+    shared by the flat/dec/mx drivers, oracle tests and hardware probes."""
     TX = x.shape[2]
     TY = x.shape[1]
     pad = (-TY) % BAND
@@ -462,7 +448,7 @@ def _rank_full(config: SimConfig, one, x, y, r, pid, cap: int, K: int,
         compiler_params=vmem,
         interpret=_interpret(),
     )(one, x, x, x, y, y, y, r, r, r, pid, pid, pid)
-    return x, y, src, rpid, rrad, count
+    return x, y, pid, src, rpid, rrad, count
 
 
 def gs_solve_pallas(state: TileState, config: SimConfig) -> TileState:
@@ -498,12 +484,8 @@ def gs_solve_pallas_flat(state: TileState, config: SimConfig) -> TileState:
     # traced 1.0 for the fma-contraction guard (_noc)
     one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
                     jnp.float32(2.0)).reshape((1,))
-    x, y, src, rpid, rrad, count = _rank_full(
+    x, y, pid, src, rpid, rrad, count = _rank_full(
         config, one, state.x, state.y, state.radius, state.pid, cap, K, t)
-    pid = state.pid
-    if x.shape[1] != TY:
-        pid = jnp.pad(pid, ((0, 0), (0, x.shape[1] - TY), (0, 0)),
-                      constant_values=-1)
     TYp = x.shape[1]
     nb = TYp // BAND
 
@@ -740,7 +722,7 @@ def gs_solve_pallas_dec(state: TileState, config: SimConfig) -> TileState:
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
                     jnp.float32(2.0)).reshape((1,))
-    _, _, src, rpid, rrad, count = _rank_full(
+    _, _, _, src, rpid, rrad, count = _rank_full(
         config, one, state.x, state.y, state.radius, state.pid, cap, K, t)
     overflow = jnp.sum(jnp.maximum(count - K, 0))
 
@@ -1006,7 +988,7 @@ def gs_solve_pallas_mx(state: TileState, config: SimConfig) -> TileState:
     one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
                     jnp.float32(2.0)).reshape((1,))
     with jax.named_scope("gs_rank"):
-        _, _, src, rpid, rrad, count = _rank_full(
+        _, _, _, src, rpid, rrad, count = _rank_full(
             config, one, state.x, state.y, state.radius, state.pid,
             cap, K, t)
     overflow = jnp.sum(jnp.maximum(count - K, 0))

@@ -1,4 +1,4 @@
-"""GS rank-v2 ("net" packed-key selection network) hardware timing @1M.
+"""GS rank-v2 ("net" pid-key selection network) hardware timing @1M.
 
 Measures, at the 1M GS geometry (tile 2.2 / cap 5 / K 6):
   - rank-only: minloop vs net (the kernel this round targets)
@@ -74,7 +74,7 @@ try:
     one = jnp.float32(1.0).reshape((1,))
     for rank, cfg in cfgs.items():
         fn = jax.jit(lambda s, o, c=cfg: _rank_full(
-            c, o, s.x, s.y, s.radius, s.pid, 5, 6, t)[2])
+            c, o, s.x, s.y, s.radius, s.pid, 5, 6, t)[3])
         src = fn(st, one)
         float(src[0, 0, 0])
         t0 = time.perf_counter()
