@@ -74,15 +74,23 @@ SETTLE = 480     # steps before timing (mover churn decays).  Multiple of
 WINDOW = 480     # timed steps: 2 full 240-step sweep cycles included
 
 
-def measure_tiled(n: int):
+def measure_tiled(n: int, uniform: bool = True):
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
     mult, cap, chunk, match, iv = _TILE_GEOM[n]
     cfg = SimConfig(max_particles=n, initial_particles=n,
                     pipeline="tiled", tile_cap=cap, tile_multiplier=mult,
-                    tiled_match=match, tiled_relocate_interval=iv)
-    eng = TiledEngine(cfg, seed=0, chunk=chunk)
-    eng.run(SETTLE)
+                    tiled_match=match, tiled_relocate_interval=iv,
+                    tiled_uniform_radius=uniform)
+    try:
+        eng = TiledEngine(cfg, seed=0, chunk=chunk)
+        eng.run(SETTLE)
+    except Exception:
+        if not uniform:
+            raise
+        # the uniform-radius sweep is the fast path; never let it cost
+        # the bench a size — fall back to the general kernel
+        return measure_tiled(n, uniform=False)
     of0 = float(eng.state.overflow_count)  # fetch = device sync
     t0 = time.perf_counter()
     eng.run(WINDOW)
@@ -120,7 +128,7 @@ def measure_substeps2() -> float:
     cfg = SimConfig(max_particles=4_194_304, initial_particles=4_194_304,
                     substeps=2, pipeline="tiled", tile_cap=cap,
                     tile_multiplier=mult, tiled_match=match,
-                    tiled_relocate_interval=iv)
+                    tiled_relocate_interval=iv, tiled_uniform_radius=True)
     eng = TiledEngine(cfg, seed=0, chunk=chunk)
     eng.run(128)
     float(eng.state.x[0, 0, 0])

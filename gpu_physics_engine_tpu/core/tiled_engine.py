@@ -60,6 +60,18 @@ class TiledEngine:
             self.config = config = config.replace(
                 tile_cap=int(initial_state.dims[0]))
         self.state = initial_state
+        if config.tiled_uniform_radius:
+            # the uniform-radius sweep never reads the radius planes;
+            # a state that violates the premise must fall back (e.g. a
+            # checkpoint with mixed radii resumed under a uniform config)
+            rad = np.asarray(self.state.radius)
+            occm = np.asarray(self.state.pid) >= 0
+            if occm.any() and not np.all(
+                    rad[occm] == np.float32(config.initial_radius)):
+                print("[tiled] mixed radii in initial state: disabling "
+                      "tiled_uniform_radius")
+                self.config = config = config.replace(
+                    tiled_uniform_radius=False)
         self.big = None  # ops/bigs.py overlay, created on oversized spawn
         self._next_pid = int(self.state.num_active)
         self._steps_done = 0
@@ -381,6 +393,15 @@ class TiledEngine:
         ids = jnp.arange(count, dtype=jnp.int32) + self._next_pid
         self._next_pid += count
         pos = jnp.stack([sx, sy], -1)
+        if self.config.tiled_uniform_radius and bool(np.any(
+                np.asarray(radii)
+                != np.float32(self.config.initial_radius))):
+            # spawned radii break the uniform-radius premise: rebuild the
+            # step with the general (radius-reading) sweep before insert
+            print("[tiled] spawn with non-uniform radii: disabling "
+                  "tiled_uniform_radius")
+            self.config = self.config.replace(tiled_uniform_radius=False)
+            self._build_compiled()
         if fits_tiles:
             self.state = self._insert(self.state, pos, radii, ids)
         else:

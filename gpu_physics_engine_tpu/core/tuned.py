@@ -59,6 +59,10 @@ def tuned_config(n_particles: int, max_particles: Optional[int] = None,
     mult, cap, _, match, iv = tuned_row(n_particles)
     kw = dict(pipeline="tiled", tile_multiplier=mult, tile_cap=cap,
               tiled_match=match, tiled_relocate_interval=iv,
+              # benchmark-density scenes are uniform radius 0.5
+              # (particle_system.rs:117); the engine falls back to the
+              # general sweep if spawns break the premise
+              tiled_uniform_radius=True,
               initial_particles=n_particles,
               max_particles=max_particles or n_particles)
     kw.update(overrides)

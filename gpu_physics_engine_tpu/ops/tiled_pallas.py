@@ -92,27 +92,47 @@ def _neighbor_rows(u, m, d):
     return above, below
 
 
-def _pair_sweep(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-                *, cap: int, stiffness: float):
+def _pair_sweep(xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
+                *, cap: int, stiffness: float, r0=None):
     """The 3x3 x CAP Jacobi pair sweep over one band: returns
     (x, y, acc_x, acc_y) — my loaded positions and my half of every pair
-    correction (collision_solver.wgsl:60-118 math)."""
-    x, y, r = xm[...], ym[...], rm[...]
+    correction (collision_solver.wgsl:60-118 math).
+
+    ``rrefs`` = (ru, rm, rd) radius block refs, or None when ``r0`` is
+    set: the uniform-radius specialization (SimConfig.tiled_uniform_radius
+    — every particle has radius r0, the BASELINE scenes' case).  Then
+    rsum = 2*r0 and the inverse-mass split rk/rsum = 1/2 are compile-time
+    constants: the radius planes are never read (3 fewer input blocks of
+    band traffic) and the per-candidate math drops the rsum add/mul and
+    the second rsqrt (~30% fewer sweep ops).  Not bit-identical to the
+    general path (the constants replace ulp-level rsqrt round trips);
+    the pair SET is identical, so positions agree to ~1e-6 world units
+    (tests/test_uniform_radius.py)."""
+    x, y = xm[...], ym[...]
     occ = (pm[...] >= 0).astype(jnp.float32)
 
     xa, xb = _neighbor_rows(xu[...], x, xd[...])
     ya, yb = _neighbor_rows(yu[...], y, yd[...])
-    ra, rb = _neighbor_rows(ru[...], r, rd[...])
     pa, pb = _neighbor_rows(pu[...], pm[...], pd[...])
     oa = (pa >= 0).astype(jnp.float32)
     ob = (pb >= 0).astype(jnp.float32)
+    if r0 is None:
+        r = rrefs[1][...]
+        ra, rb = _neighbor_rows(rrefs[0][...], r, rrefs[2][...])
+        rows = ((xa, ya, ra, oa), (x, y, r, occ), (xb, yb, rb, ob))
+        rsum_c = rsum2_c = half_stiff = None
+    else:
+        rows = ((xa, ya, None, oa), (x, y, None, occ), (xb, yb, None, ob))
+        rsum_c = jnp.float32(2.0 * r0)
+        rsum2_c = jnp.float32((2.0 * r0) * (2.0 * r0))
+        # wi = rk/rsum = 1/2 folded into the stiffness constant
+        half_stiff = jnp.float32(0.5 * stiffness)
 
     acc_x = jnp.zeros_like(x)
     acc_y = jnp.zeros_like(y)
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1, 1), 0)
 
-    for row, (xr, yr, rr, orow) in enumerate(
-            ((xa, ya, ra, oa), (x, y, r, occ), (xb, yb, rb, ob))):
+    for row, (xr, yr, rr, orow) in enumerate(rows):
         for dx in (-1, 0, 1):
             if dx == 0:
                 xo, yo, ro, oo = xr, yr, rr, orow
@@ -121,7 +141,7 @@ def _pair_sweep(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
                 sh = (-dx) % tx  # pltpu.roll wants non-negative shifts
                 xo = pltpu.roll(xr, shift=sh, axis=2)
                 yo = pltpu.roll(yr, shift=sh, axis=2)
-                ro = pltpu.roll(rr, shift=sh, axis=2)
+                ro = None if rr is None else pltpu.roll(rr, shift=sh, axis=2)
                 oo = pltpu.roll(orow, shift=sh, axis=2)
             self_tile = row == 1 and dx == 0
 
@@ -130,7 +150,6 @@ def _pair_sweep(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
                 ax, ay = accs
                 xk = xo[k:k + 1]
                 yk = yo[k:k + 1]
-                rk = ro[k:k + 1]
                 ok = oo[k:k + 1]
 
                 # rsqrt formulation, identical op order to ops/tiled.py's
@@ -138,8 +157,12 @@ def _pair_sweep(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
                 ddx = x - xk
                 ddy = y - yk
                 d2 = ddx * ddx + ddy * ddy
-                rsum = r + rk
-                rsum2 = rsum * rsum
+                if ro is None:
+                    rsum2 = rsum2_c
+                else:
+                    rk = ro[k:k + 1]
+                    rsum = r + rk
+                    rsum2 = rsum * rsum
                 pair = ((rsum2 > d2)
                         & (d2 > MIN_DISTANCE * MIN_DISTANCE)
                         ).astype(jnp.float32)
@@ -150,12 +173,15 @@ def _pair_sweep(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
                 inv = jax.lax.rsqrt(
                     jnp.maximum(d2, MIN_DISTANCE * MIN_DISTANCE))
                 dist = d2 * inv
-                pen = (rsum - dist) * jnp.float32(stiffness)
-                # my half of the pair correction (inverse-mass split,
-                # collision_solver.wgsl:101-110): wi = rk / rsum
-                wi = rk * jax.lax.rsqrt(
-                    jnp.maximum(rsum2, MIN_DISTANCE * MIN_DISTANCE))
-                coef = inv * pen * wi * w
+                if ro is None:
+                    coef = inv * ((rsum_c - dist) * half_stiff) * w
+                else:
+                    pen = (rsum - dist) * jnp.float32(stiffness)
+                    # my half of the pair correction (inverse-mass split,
+                    # collision_solver.wgsl:101-110): wi = rk / rsum
+                    wi = rk * jax.lax.rsqrt(
+                        jnp.maximum(rsum2, MIN_DISTANCE * MIN_DISTANCE))
+                    coef = inv * pen * wi * w
                 return (ax + ddx * coef, ay + ddy * coef)
 
             # static unroll: Mosaic has no dynamic_slice on values, so a
@@ -166,32 +192,47 @@ def _pair_sweep(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
     return x, y, acc_x, acc_y
 
 
-def _collide_band_kernel(xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-                         outx_ref, outy_ref, *, cap: int, stiffness: float):
+def _collide_band_kernel(*refs, cap: int, stiffness: float, r0=None):
+    if r0 is None:
+        (xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+         outx_ref, outy_ref) = refs
+        rrefs = (ru, rm, rd)
+    else:
+        xu, xm, xd, yu, ym, yd, pu, pm, pd, outx_ref, outy_ref = refs
+        rrefs = None
     x, y, acc_x, acc_y = _pair_sweep(
-        xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-        cap=cap, stiffness=stiffness)
+        xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
+        cap=cap, stiffness=stiffness, r0=r0)
     outx_ref[...] = x + acc_x
     outy_ref[...] = y + acc_y
 
 
-def _collide_integrate_band_kernel(
-        prm, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, pxm, pym,
-        ox, oy, opx, opy, *, cap: int, config):
+def _collide_integrate_band_kernel(prm, *refs, cap: int, config):
     """Fused substep: pair sweep + Verlet integration + world constraint,
     one read and one write of the band per substep (the separate XLA
     integrate pass costs ~7 ms/step at 4M purely in pass overhead).
-    prm (SMEM): [dt_scaled, mouse_x, mouse_y, pressed]."""
+    prm (SMEM): [dt_scaled, mouse_x, mouse_y, pressed].
+    With config.tiled_uniform_radius the radius blocks are absent from
+    ``refs`` (never read; radius r0 = config.initial_radius is static)."""
     from gpu_physics_engine_tpu.ops.integrate import apply_world_constraint
 
+    r0 = config.initial_radius if config.tiled_uniform_radius else None
+    if r0 is None:
+        (xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, pxm, pym,
+         ox, oy, opx, opy) = refs
+        rrefs = (ru, rm, rd)
+    else:
+        (xu, xm, xd, yu, ym, yd, pu, pm, pd, pxm, pym,
+         ox, oy, opx, opy) = refs
+        rrefs = None
     x, y, acc_x, acc_y = _pair_sweep(
-        xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-        cap=cap, stiffness=config.stiffness)
+        xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
+        cap=cap, stiffness=config.stiffness, r0=r0)
     cx = x + acc_x
     cy = y + acc_y
 
     occ = pm[...] >= 0
-    r = rm[...]
+    r = jnp.float32(r0) if r0 is not None else rrefs[1][...]
     vel_x = cx - pxm[...]
     vel_y = cy - pym[...]
     dt = prm[0]
@@ -244,15 +285,17 @@ def collide_pallas(state: TileState, config: SimConfig,
         return pl.BlockSpec((cap, BAND, TX), index_map,
                             memory_space=pltpu.VMEM)
 
+    r0 = config.initial_radius if config.tiled_uniform_radius else None
+    fields = (x, y, pid) if r0 is not None else (x, y, r, pid)
     in_specs = []
     args = []
-    for a in (x, y, r, pid):
+    for a in fields:
         in_specs += [spec(up), spec(mid), spec(dn)]
         args += [a, a, a]
     out_spec = pl.BlockSpec((cap, BAND, TX), mid, memory_space=pltpu.VMEM)
 
     kernel = partial(_collide_band_kernel, cap=cap,
-                     stiffness=config.stiffness)
+                     stiffness=config.stiffness, r0=r0)
     # 14 blocks x cap*BAND*TX*4B double-buffered plus the unrolled sweep's
     # stack temporaries blow the 16MB default scoped-VMEM limit (measured
     # 19.25M blocks-only at cap=16, TX=1388; stack OOMs appear even on
@@ -308,9 +351,11 @@ def collide_integrate_pallas(state: TileState, params, config: SimConfig,
                      params.mouse_x, params.mouse_y,
                      params.mouse_pressed.astype(jnp.float32)])
 
+    fields = ((x, y, pid) if config.tiled_uniform_radius
+              else (x, y, r, pid))
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     args = [prm]
-    for a in (x, y, r, pid):
+    for a in fields:
         in_specs += [spec(up), spec(mid), spec(dn)]
         args += [a, a, a]
     in_specs += [spec(mid), spec(mid)]

@@ -102,6 +102,17 @@ try:
     same = bool(jnp.array_equal(outs["minloop"].x, out_mx.x)
                 & jnp.array_equal(outs["minloop"].y, out_mx.y))
     log(stage="gs_mx_net", ms=round(ms, 2), chains_equal=same)
+
+    # ---- K=5: rank/solve/apply all scale ~linearly with K, and K=6's
+    # measured GS deferral was 0.004%/step — how much quality does the
+    # ~17% cheaper table cost?  (overflow delta = the quality signal)
+    cfg5 = cfgs["net"].replace(max_occupancy=5)
+    fn5 = jax.jit(lambda s: gs_solve_pallas_mx(s, cfg5))
+    of0 = float(st.overflow_count)
+    ms5, out5 = time_call(fn5, st)
+    log(stage="gs_mx_net_K5", ms=round(ms5, 2),
+        overflow_delta_per_call=round(
+            (float(out5.overflow_count) - of0) / 9.0, 1))
 except Exception:
     log(stage="error", where="gsrank", err=traceback.format_exc()[-400:])
 

@@ -294,6 +294,39 @@ def test_sharded_tiled_fused_pallas_matches_jnp(mesh8):
     np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-5)
 
 
+def test_sharded_tiled_uniform_radius_matches_general(mesh8):
+    """tiled_uniform_radius inside shard_map: the radius-free sweep
+    (fewer pallas inputs per slab) stays within ulp-scale of the
+    radius-reading one and conserves particles."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+
+    rng = np.random.default_rng(11)
+    n = 160
+    positions = np.stack([
+        rng.uniform(1.0, 63.0, n), rng.uniform(1.0, 63.0, n)],
+        -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+
+    results = []
+    for uniform in (False, True):
+        cfg = _tcfg(initial_particles=n, tiled_collide="pallas",
+                    tiled_fuse_integrate=True,
+                    tiled_uniform_radius=uniform)
+        st = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+        step = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+        params = StepParams.make(cfg.dt)
+        for _ in range(8):
+            st = step(st, params)
+        pid, pos, prev, _ = export_particles(st)
+        assert int(st.num_active) == n
+        order = np.argsort(pid)
+        results.append((pid[order], pos[order], prev[order]))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_allclose(results[1][1], results[0][1], atol=1e-4)
+    np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-4)
+
+
 def test_sharded_tiled_pull_relocate_matches_claim(mesh8):
     """The slab pull relocate (interpret-mode Pallas inside shard_map)
     conserves particles and matches the claim-relocate trajectories."""
