@@ -14,12 +14,12 @@ import pytest
 from gpu_physics_engine_tpu import Engine, SimConfig, make_engine
 
 
-def _run(solver, pipeline="sorted", steps=40):
+def _run(solver, pipeline="sorted", steps=40, **kw):
     cfg = SimConfig(max_particles=4096, initial_particles=4096,
                     world_width=256.0, world_height=128.0,
                     initial_radius=0.5, sort_interval_steps=16,
                     gravity=(0.0, -30.0), solver=solver, pipeline=pipeline,
-                    tile_cap=16)
+                    tile_cap=16, **kw)
     eng = make_engine(cfg, seed=1234)
     eng.run(steps)
     pos = eng.positions()
@@ -42,7 +42,19 @@ _EXPECTED = {
              36.618186950683594, 17.265073776245117],
     "tiled": [127.47721099853516, 57.51222229003906, 73.82646179199219,
               36.40922546386719, 17.10873794555664],
+    # the Pallas fused sweep with the uniform-radius constants.  At
+    # r0 = 0.5 it is BITWISE equal to the tiled row (rsum = 1.0 and the
+    # 1/2 mass split are exact: 0.3f32 == 0.6f32/2, and power-of-two
+    # scaling commutes without rounding) — the shared numbers are the
+    # strongest possible lock, not a copy-paste accident.
+    "tiled_uniform": [127.47721099853516, 57.51222229003906,
+                      73.82646179199219, 36.40922546386719,
+                      17.10873794555664],
 }
+
+_KW = {"tiled_uniform": dict(tiled_collide="pallas",
+                             tiled_fuse_integrate=True,
+                             tiled_uniform_radius=True)}
 
 
 def test_fingerprints_are_reproducible():
@@ -56,6 +68,7 @@ def test_fingerprints_are_reproducible():
     ("colored", "colored", "sorted"),
     ("fast", "fast", "sorted"),
     ("tiled", "fast", "tiled"),
+    ("tiled_uniform", "fast", "tiled"),
 ])
 def test_solver_fingerprints_locked(name, solver, pipeline):
     """Fixed-seed trajectories match the committed fingerprints.
@@ -64,7 +77,7 @@ def test_solver_fingerprints_locked(name, solver, pipeline):
     loose bounds covering reduction-order differences."""
     import jax
 
-    fp = _run(solver, pipeline)
+    fp = _run(solver, pipeline, **_KW.get(name, {}))
     expected = np.array(_EXPECTED[name])
     if jax.default_backend() == "cpu":
         np.testing.assert_allclose(fp, expected, rtol=1e-6)
