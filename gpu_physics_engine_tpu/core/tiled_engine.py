@@ -484,6 +484,26 @@ class TiledEngine:
     def cell_size(self) -> float:
         return tiled.tile_geometry(self.config)[0]
 
+    # ---- checkpoint / resume (utils/checkpoint.py; the headless CLI's
+    # --checkpoint/--resume flags use the same format).  Cross-topology:
+    # the same file resumes on ShardedTiledEngine.from_checkpoint. ----
+
+    def save_checkpoint(self, path: str) -> None:
+        from gpu_physics_engine_tpu.utils.checkpoint import (
+            save_tiled_checkpoint)
+        save_tiled_checkpoint(path, self.state, self.config)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, seed: int = 0,
+                        **config_overrides) -> "TiledEngine":
+        from gpu_physics_engine_tpu.utils.checkpoint import (
+            load_tiled_checkpoint)
+        state, config = load_tiled_checkpoint(path)
+        if config_overrides:
+            config = config.replace(**config_overrides)
+            state, _ = load_tiled_checkpoint(path, config=config)
+        return cls(config, seed=seed, initial_state=state)
+
     # ---- device-side rendering (render/device.py) ----
 
     def render_frame(self, rect=None, width: int = 1280,

@@ -55,16 +55,19 @@ def sharded_tile_geometry(config: SimConfig, n_shards: int):
     return t, rows * n_shards, TX, rows
 
 
-def init_sharded_tiles(config: SimConfig, mesh: Mesh, positions, radii
-                       ) -> TileState:
-    """Build a TileState whose row axis is sharded over the mesh."""
+def init_sharded_tiles(config: SimConfig, mesh: Mesh, positions, radii,
+                       pids=None, previous_positions=None) -> TileState:
+    """Build a TileState whose row axis is sharded over the mesh.
+    ``pids``/``previous_positions`` resume an exported particle set
+    (checkpoint path) instead of a fresh spawn."""
     axis = config.mesh_axis
     n = mesh.devices.size
     t, TYp, TX, _rows = sharded_tile_geometry(config, n)
     cap = config.tile_cap
 
     # reuse the host-side tiler, then pad rows to the sharded height
-    st = tiled.init_tiles(config, positions, radii)
+    st = tiled.init_tiles(config, positions, radii, pids=pids,
+                          previous_positions=previous_positions)
     pad = TYp - st.dims[1]
 
     def padrow(a, fill):
@@ -402,7 +405,11 @@ class ShardedTiledEngine:
     on a device mesh (run/step/spawn/mouse/downloads).  Downloads assume
     all shards are addressable from this host (single-host meshes)."""
 
-    def __init__(self, config: SimConfig, mesh: Mesh = None, seed: int = 0):
+    def __init__(self, config: SimConfig, mesh: Mesh = None, seed: int = 0,
+                 initial_arrays=None):
+        """``initial_arrays`` = (positions, radii, pids, previous) resumes
+        an exported particle set (see from_checkpoint) instead of the
+        fresh uniform spawn."""
         from gpu_physics_engine_tpu.core.tiled_engine import _auto_cap
         from gpu_physics_engine_tpu.parallel.mesh import make_mesh
         from gpu_physics_engine_tpu.utils.timer import FrameTimer
@@ -410,17 +417,30 @@ class ShardedTiledEngine:
         self.mesh = mesh if mesh is not None else make_mesh()
         self._key = jax.random.key(seed)
         k1, k2, self._key = jax.random.split(self._key, 3)
-        n = config.initial_particles
-        positions = np.stack([
-            np.asarray(jax.random.uniform(
-                k1, (n,), jnp.float32, 0.0, config.world_width)),
-            np.asarray(jax.random.uniform(
-                k2, (n,), jnp.float32, 0.0, config.world_height))], -1)
-        radii = np.full(n, config.initial_radius, np.float32)
+        pids = prev = None
+        if initial_arrays is not None:
+            positions, radii, pids, prev = initial_arrays
+            positions = np.asarray(positions, np.float32)
+            radii = np.asarray(radii, np.float32)
+            n = len(positions)
+        else:
+            n = config.initial_particles
+            positions = np.stack([
+                np.asarray(jax.random.uniform(
+                    k1, (n,), jnp.float32, 0.0, config.world_width)),
+                np.asarray(jax.random.uniform(
+                    k2, (n,), jnp.float32, 0.0, config.world_height))], -1)
+            radii = np.full(n, config.initial_radius, np.float32)
         if config.tile_cap == 0:
             config = config.replace(tile_cap=_auto_cap(config, positions))
+        if (config.tiled_uniform_radius
+                and not np.all(radii == np.float32(config.initial_radius))):
+            print("[tiled] mixed radii in initial arrays: disabling "
+                  "tiled_uniform_radius")
+            config = config.replace(tiled_uniform_radius=False)
         self.config = config
-        self.state = init_sharded_tiles(config, self.mesh, positions, radii)
+        self.state = init_sharded_tiles(config, self.mesh, positions, radii,
+                                        pids=pids, previous_positions=prev)
         step_fn = make_sharded_tiled_step_fn(config, self.mesh)
         # relocate every iv-th step (tiled_relocate_interval — TiledEngine
         # parity): the off-step program skips relocation AND migration
@@ -493,7 +513,8 @@ class ShardedTiledEngine:
             self._sweep_interval = 0
         self._steps_done = 0
         self._insert = make_sharded_insert(config, self.mesh)
-        self._next_pid = n
+        self._next_pid = (int(np.max(pids)) + 1 if pids is not None
+                          and len(np.asarray(pids)) else n)
         # cumulative per-chip deferral/drop counts (i32[n_shards]) — the
         # physics-quality signal per slab.  Accumulated device-side
         # (async) so run() keeps its dispatch pipelining; read via the
@@ -608,3 +629,34 @@ class ShardedTiledEngine:
 
     def cell_size(self) -> float:
         return tiled.tile_geometry(self.config)[0]
+
+    # ---- checkpoint / resume (cross-topology: the tiled checkpoint
+    # stores pid-ordered particle arrays, not the layout, so a state
+    # saved on N chips resumes on M chips — or on the single-chip
+    # TiledEngine — and vice versa).  Engine-level per-chip deferral
+    # counters (per_chip_overflow) restart at zero on resume; the
+    # state's cumulative overflow_count is part of the checkpoint. ----
+
+    def save_checkpoint(self, path: str) -> None:
+        from gpu_physics_engine_tpu.utils.checkpoint import (
+            save_tiled_checkpoint)
+        save_tiled_checkpoint(path, self.state, self.config)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, mesh: Mesh = None, seed: int = 0,
+                        **config_overrides) -> "ShardedTiledEngine":
+        import json as _json
+        with np.load(path) as z:
+            assert bytes(z["__kind__"].tobytes()) == b"tiled"
+            cfg_dict = _json.loads(bytes(z["__config__"].tobytes()).decode())
+            cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
+            cfg_dict.update(config_overrides)
+            config = SimConfig(**cfg_dict)
+            arrays = (z["positions"], z["radii"], z["pid"],
+                      z["previous_positions"])
+            eng = cls(config, mesh=mesh, seed=seed, initial_arrays=arrays)
+            eng.state = dataclasses.replace(
+                eng.state,
+                overflow_count=eng.state.overflow_count
+                + jnp.asarray(z["overflow"], jnp.int32))
+        return eng

@@ -62,15 +62,21 @@ def save_tiled_checkpoint(path: str, state, config: SimConfig) -> None:
         overflow=np.asarray(state.overflow_count))
 
 
-def load_tiled_checkpoint(path: str):
+def load_tiled_checkpoint(path: str, config: SimConfig | None = None):
+    """Re-tile the stored particle arrays.  ``config`` overrides the
+    stored one (geometry overrides re-tile accordingly)."""
     from gpu_physics_engine_tpu.ops import tiled
 
     with np.load(path) as z:
         assert bytes(z["__kind__"].tobytes()) == b"tiled"
-        cfg_dict = json.loads(bytes(z["__config__"].tobytes()).decode())
-        cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
-        config = SimConfig(**cfg_dict)
+        if config is None:
+            cfg_dict = json.loads(bytes(z["__config__"].tobytes()).decode())
+            cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
+            config = SimConfig(**cfg_dict)
         state = tiled.init_tiles(
             config, z["positions"], z["radii"], pids=z["pid"],
             previous_positions=z["previous_positions"])
+        state = dataclasses.replace(
+            state, overflow_count=state.overflow_count
+            + jnp.asarray(z["overflow"], jnp.int32))
     return state, config

@@ -294,6 +294,37 @@ def test_sharded_tiled_fused_pallas_matches_jnp(mesh8):
     np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-5)
 
 
+def test_sharded_checkpoint_cross_topology(mesh8, tmp_path):
+    """A checkpoint saved on the 8-device sharded engine resumes on the
+    single-chip TiledEngine AND on a fresh sharded engine, and all three
+    continuations agree (the tiled checkpoint stores pid-ordered
+    particle arrays, not the layout)."""
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel.tiled_shard import (
+        ShardedTiledEngine)
+
+    cfg = _tcfg(initial_particles=160, gravity=(0.0, -20.0))
+    e1 = ShardedTiledEngine(cfg, mesh=mesh8, seed=0)
+    e1.run(6)
+    path = str(tmp_path / "sharded.npz")
+    e1.save_checkpoint(path)
+
+    e_single = TiledEngine.from_checkpoint(path)
+    e_reshard = ShardedTiledEngine.from_checkpoint(path, mesh=mesh8)
+    assert e_single.num_particles() == e1.num_particles()
+    assert e_reshard.num_particles() == e1.num_particles()
+
+    def fp(eng):
+        eng.run(4)
+        pid, pos, _, _ = export_particles(eng.state)
+        return pos[np.argsort(pid)]
+
+    a, b, c = fp(e1), fp(e_single), fp(e_reshard)
+    np.testing.assert_allclose(b, a, atol=1e-5)
+    np.testing.assert_allclose(c, a, atol=1e-5)
+
+
 def test_sharded_tiled_uniform_radius_matches_general(mesh8):
     """tiled_uniform_radius inside shard_map: the radius-free sweep
     (fewer pallas inputs per slab) stays within ulp-scale of the
