@@ -219,6 +219,14 @@ class SimConfig:
     # largest radius the tiling must accommodate; None -> initial_radius
     # (set to spawn_radius_max when interactive spawning is used)
     tile_max_radius: float | None = None
+    # runtime geometry adaptation: when > 0, TiledEngine.run() checks the
+    # deferred POPULATION (overflow delta/step/particle x relocate
+    # interval — the physics-quality signal, PERF.md) over each finished
+    # run() window and re-tiles with +1 slot capacity when it exceeds
+    # this percentage.  Checked only at run() boundaries (an in-run fetch
+    # would break dispatch pipelining); one recompile per growth.  0 =
+    # off (the default: production geometries are pre-swept, core/tuned.py)
+    tiled_auto_cap_pct: float = 0.0
     # spawn handling when a spawned radius exceeds the tile geometry:
     # "bigs" = big-particle overlay (ops/bigs.py: tile grid unchanged,
     # oversized particles in a dense side array coupled via gather

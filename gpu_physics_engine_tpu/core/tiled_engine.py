@@ -233,6 +233,39 @@ class TiledEngine:
             overflow_count=self.state.overflow_count + overflow)
         self._build_compiled()
 
+    def _retile_cap(self, new_cap: int):
+        """Rebuild the tiling at the same geometry with a bigger slot
+        capacity (deferral-driven growth, see tiled_auto_cap_pct)."""
+        pids, pos, prev, radii = tiled.export_particles(self.state)
+        overflow = int(self.state.overflow_count)
+        self.config = self.config.replace(tile_cap=int(new_cap))
+        self.state = tiled.init_tiles(self.config, pos, radii, pids=pids,
+                                      previous_positions=prev)
+        import dataclasses as _dc
+        self.state = _dc.replace(
+            self.state,
+            overflow_count=self.state.overflow_count + overflow)
+        self._build_compiled()
+
+    def _maybe_grow_cap(self, steps: int, overflow_before: int):
+        """Deferral-driven runtime adaptation (config.tiled_auto_cap_pct):
+        if the deferred POPULATION over the finished run() window exceeds
+        the threshold, re-tile with +1 slot capacity.  Checked only at
+        run() boundaries — an in-run host fetch would break the scanned
+        windows' dispatch pipelining (~5.7 ms/program tunnel floor)."""
+        pct_bound = self.config.tiled_auto_cap_pct
+        if not pct_bound or steps <= 0:
+            return
+        n = max(1, self.num_particles())
+        delta = int(self.state.overflow_count) - overflow_before
+        pct = delta / steps / n * 100.0 * max(
+            1, self.config.tiled_relocate_interval)
+        if pct > pct_bound:
+            print(f"[tiled] deferred population {pct:.2f}%/step > "
+                  f"{pct_bound}%: growing tile_cap "
+                  f"{self.config.tile_cap} -> {self.config.tile_cap + 1}")
+            self._retile_cap(self.config.tile_cap + 1)
+
     @classmethod
     def from_arrays(cls, config: SimConfig, positions, radii, **kw):
         if config.tile_cap == 0:
@@ -277,6 +310,9 @@ class TiledEngine:
         p = self.params()
         interval = self._sweep_interval
         done = 0
+        # only fetch (= device sync) when the adaptation knob is on
+        of_before = (int(self.state.overflow_count)
+                     if self.config.tiled_auto_cap_pct else 0)
         while done < n_steps:
             if (interval and self._steps_done
                     and self._steps_done % interval == 0):
@@ -337,6 +373,7 @@ class TiledEngine:
             if sync_every and done % sync_every == 0:
                 jax.block_until_ready(self.state.x)
             self.timer.get_delta(frames=took)
+        self._maybe_grow_cap(n_steps, of_before)
         return self.state
 
     # ---- interaction ----

@@ -616,3 +616,34 @@ def test_relocate_interval_counter_never_exceeds_reserve():
     eng.run(16); check()
     for _ in range(9):
         eng.step(); check()
+
+
+def test_auto_cap_growth_on_deferral():
+    """Runtime geometry adaptation (tiled_auto_cap_pct): a dense jam at
+    a deliberately tiny cap must grow the slot capacity at run()
+    boundaries until the deferred population can resolve, preserving
+    every particle across re-tiles."""
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+
+    cfg = SimConfig(max_particles=900, initial_particles=900,
+                    world_width=24.0, world_height=12.0,
+                    initial_radius=0.5, pipeline="tiled",
+                    tile_multiplier=4.4, tile_cap=3,
+                    sort_interval_steps=0, tiled_collide="jnp",
+                    tiled_relocate="jnp", gravity=(0.0, -40.0),
+                    tiled_auto_cap_pct=0.5)
+    eng = TiledEngine(cfg, seed=0)
+    n0 = eng.num_particles()
+    cap0 = eng.config.tile_cap
+    for _ in range(3):
+        eng.run(8)
+    assert eng.config.tile_cap > cap0
+    assert eng.num_particles() == n0   # re-tiles never lose particles
+    s = eng.state
+    occ = np.asarray(s.pid) >= 0
+    assert np.isfinite(np.asarray(s.x)[occ]).all()
+
+    # knob off: cap must stay put on the same jam
+    eng2 = TiledEngine(cfg.replace(tiled_auto_cap_pct=0.0), seed=0)
+    eng2.run(8)
+    assert eng2.config.tile_cap == cap0
