@@ -55,14 +55,32 @@ RUNS = [
 ]
 SETTLE, WINDOW = 480, 480
 
+uniform_ok = True  # flipped off for the rest of the sweep on failure
+
 for n, mult, cap, chunk, match, iv in RUNS:
     try:
+        # tiled_uniform_radius matches bench.py's production configs —
+        # sweeping the general kernel would rank caps/intervals on a
+        # ~30%-heavier sweep phase than the one production runs.  The
+        # kernel is new this round: if it fails on hardware, fall back
+        # to the general kernel for the remaining runs (logged).
         cfg = SimConfig(max_particles=n, initial_particles=n,
                         pipeline="tiled", tile_cap=cap,
                         tile_multiplier=mult, tiled_match=match,
-                        tiled_relocate_interval=iv)
-        eng = TiledEngine(cfg, seed=0, chunk=chunk)
-        eng.run(SETTLE)
+                        tiled_relocate_interval=iv,
+                        tiled_uniform_radius=uniform_ok)
+        try:
+            eng = TiledEngine(cfg, seed=0, chunk=chunk)
+            eng.run(SETTLE)
+        except Exception:
+            if not uniform_ok:
+                raise
+            log(stage="uniform_fallback", n=n,
+                err=traceback.format_exc()[-200:])
+            uniform_ok = False
+            cfg = cfg.replace(tiled_uniform_radius=False)
+            eng = TiledEngine(cfg, seed=0, chunk=chunk)
+            eng.run(SETTLE)
         of0 = float(eng.state.overflow_count)
         t0 = time.perf_counter()
         eng.run(WINDOW)
@@ -71,6 +89,7 @@ for n, mult, cap, chunk, match, iv in RUNS:
         defer = ((float(eng.state.overflow_count) - of0)
                  / WINDOW / n * 100)
         log(stage="iv2", n=n, mult=mult, cap=cap, chunk=chunk, interval=iv,
+            uniform=bool(cfg.tiled_uniform_radius),
             ms_per_step=round(ms, 3), defer_pct=round(defer, 3),
             defer_per_event=round(defer * iv, 3),
             vs_baseline=round(BASELINE[n] / ms, 3))
