@@ -142,12 +142,13 @@ def main(argv=None) -> dict:
         if is_tiled:
             from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
             from gpu_physics_engine_tpu.utils.checkpoint import (
-                load_tiled_checkpoint)
-            state, cfg = load_tiled_checkpoint(args.resume)
-            # only non-structural overrides are safe on a checkpoint
-            # (the state's tile geometry is baked in)
-            eng = TiledEngine(apply_overrides(cfg, args.overrides),
-                              seed=args.seed, initial_state=state)
+                peek_tiled_config)
+            # from_checkpoint re-tiles under the merged config (geometry
+            # overrides are safe) and restores any big-particle overlay
+            eng = TiledEngine.from_checkpoint(
+                args.resume, seed=args.seed,
+                config=apply_overrides(peek_tiled_config(args.resume),
+                                       args.overrides))
             args.pipeline = "tiled"
         else:
             from gpu_physics_engine_tpu.utils.checkpoint import load_checkpoint
@@ -214,9 +215,9 @@ def main(argv=None) -> dict:
 
     if args.checkpoint:
         if args.pipeline == "tiled":
-            from gpu_physics_engine_tpu.utils.checkpoint import (
-                save_tiled_checkpoint)
-            save_tiled_checkpoint(args.checkpoint, eng.state, eng.config)
+            # engine method: includes the big-particle overlay, which
+            # export_particles(state) alone would silently drop
+            eng.save_checkpoint(args.checkpoint)
         else:
             from gpu_physics_engine_tpu.utils.checkpoint import save_checkpoint
             save_checkpoint(args.checkpoint, eng.state, eng.config)

@@ -459,24 +459,55 @@ class TiledEngine:
         return self.state
 
     def _insert_bigs(self, pos: np.ndarray, radii: np.ndarray,
-                     ids: np.ndarray):
+                     ids: np.ndarray, prev: np.ndarray = None):
         """Host-side insert into the overlay (spawns are rare and
         host-driven; no jit needed).  Capacity overruns count as refused
-        inserts in overflow_count, like tile inserts."""
+        inserts in overflow_count, like tile inserts.  ``prev`` resumes
+        checkpointed previous positions (velocity) instead of a
+        from-rest spawn."""
         from gpu_physics_engine_tpu.ops import bigs as bigs_ops
         import dataclasses as _dc
         if self.big is None:
-            self.big = bigs_ops.init_bigs(self.config.big_capacity)
+            # size the overlay to the burst, not config.big_capacity:
+            # couple_bigs' gather/scatter cost scales with the STATIC
+            # capacity (mostly empty slots at 2048), so start small and
+            # grow on demand (one recompile per doubling, spawns are
+            # host-driven events anyway)
+            cap0 = 128
+            while cap0 < len(ids):
+                cap0 *= 2
+            self.big = bigs_ops.init_bigs(
+                min(cap0, self.config.big_capacity))
             self._build_hybrid()
+        if prev is None:
+            prev = pos
         free = np.nonzero(np.asarray(self.big.pid) < 0)[0]
+        if (len(free) < len(ids)
+                and self.big.capacity < self.config.big_capacity):
+            live = int(np.sum(np.asarray(self.big.pid) >= 0))
+            newcap = self.big.capacity
+            while newcap < live + len(ids):
+                newcap *= 2
+            newcap = min(newcap, self.config.big_capacity)
+            pad = newcap - self.big.capacity
+            self.big = _dc.replace(
+                self.big,
+                x=jnp.pad(self.big.x, (0, pad)),
+                y=jnp.pad(self.big.y, (0, pad)),
+                px=jnp.pad(self.big.px, (0, pad)),
+                py=jnp.pad(self.big.py, (0, pad)),
+                radius=jnp.pad(self.big.radius, (0, pad)),
+                pid=jnp.pad(self.big.pid, (0, pad), constant_values=-1))
+            self._build_hybrid()
+            free = np.nonzero(np.asarray(self.big.pid) < 0)[0]
         n = min(len(free), len(ids))
         slots = jnp.asarray(free[:n], jnp.int32)
         self.big = _dc.replace(
             self.big,
             x=self.big.x.at[slots].set(pos[:n, 0]),
             y=self.big.y.at[slots].set(pos[:n, 1]),
-            px=self.big.px.at[slots].set(pos[:n, 0]),
-            py=self.big.py.at[slots].set(pos[:n, 1]),
+            px=self.big.px.at[slots].set(prev[:n, 0]),
+            py=self.big.py.at[slots].set(prev[:n, 1]),
             radius=self.big.radius.at[slots].set(radii[:n]),
             pid=self.big.pid.at[slots].set(ids[:n]),
             num_active=self.big.num_active + jnp.int32(n))
@@ -528,18 +559,29 @@ class TiledEngine:
     def save_checkpoint(self, path: str) -> None:
         from gpu_physics_engine_tpu.utils.checkpoint import (
             save_tiled_checkpoint)
-        save_tiled_checkpoint(path, self.state, self.config)
+        save_tiled_checkpoint(path, self.state, self.config, big=self.big)
 
     @classmethod
-    def from_checkpoint(cls, path: str, seed: int = 0,
+    def from_checkpoint(cls, path: str, seed: int = 0, config=None,
                         **config_overrides) -> "TiledEngine":
+        """``config`` replaces the stored one wholesale (e.g. the CLI's
+        --set pipeline); ``config_overrides`` patch individual fields.
+        Geometry changes are safe — the particles re-tile on load."""
         from gpu_physics_engine_tpu.utils.checkpoint import (
-            load_tiled_checkpoint)
-        state, config = load_tiled_checkpoint(path)
+            load_tiled_bigs, load_tiled_checkpoint, peek_tiled_config)
+        if config is None:
+            config = peek_tiled_config(path)
         if config_overrides:
             config = config.replace(**config_overrides)
-            state, _ = load_tiled_checkpoint(path, config=config)
-        return cls(config, seed=seed, initial_state=state)
+        state, _ = load_tiled_checkpoint(path, config=config)
+        eng = cls(config, seed=seed, initial_state=state)
+        bigs = load_tiled_bigs(path)
+        if bigs is not None:
+            bpid, bpos, bprev, brad = bigs
+            eng._insert_bigs(np.asarray(bpos), np.asarray(brad),
+                             np.asarray(bpid), prev=np.asarray(bprev))
+            eng._next_pid = max(eng._next_pid, int(np.max(bpid)) + 1)
+        return eng
 
     # ---- device-side rendering (render/device.py) ----
 

@@ -94,8 +94,20 @@ def window_halfwidth(config: SimConfig) -> int:
              + config.hysteresis_delta
              + (config.tiled_relocate_interval - 1) * config.drift_budget)
     w = int(math.ceil(reach / t))
-    # window must fit inside the grid (tiny test worlds)
-    return max(1, min(w, (min(TY, TX) - 1) // 2))
+    # the window must not wrap (a wrapped roll view would visit a tile
+    # twice and double-count its pairs)
+    w_max = (min(TY, TX) - 1) // 2
+    clamped = max(1, min(w, w_max))
+    if clamped < w and not (2 * clamped + 1 >= TY
+                            and 2 * clamped + 1 >= TX):
+        # an under-sized window would silently skip real big-small
+        # pairs (no overflow counter would see it) — refuse instead
+        raise ValueError(
+            f"grid ({TY}x{TX} tiles, edge {t:.3g}) is too small for the "
+            f"big-particle gather window (need half-width {w}, max "
+            f"{clamped} without wrapping); use tiled_spawn='retile' or "
+            "a larger world for oversized spawns at this scale")
+    return clamped
 
 
 def _pair(dx, dy, ri, rj, stiffness):

@@ -212,10 +212,13 @@ def solve_colored(x, y, radius, table: OccupantTable, stiffness: float,
     # distinct out-of-bounds destinations for masked rows: scatter stays
     # unique_indices (non-unique scatters serialize on TPU)
     oob = cap + jnp.arange(rows, dtype=jnp.int32)
-    # traced 1.0: fma-contraction guard for the bit-parity oracle
-    # (derived from the traced positions — stiffness is usually a
-    # compile-time constant and would fold)
-    one = jnp.where(jnp.isfinite(x.reshape(-1)[0]),
+    # traced 1.0: fma-contraction guard for the bit-parity oracle.  The
+    # predicate must be traced (or XLA folds it and re-contracts) yet
+    # NEVER false: table.color = 1 + (cx&1) + 2*(cy&1) is an int in
+    # [1, 4] for ANY cx/cy, with no NaN failure mode — unlike the old
+    # isfinite(x[0]), which would flip to 2.0 and double every
+    # correction if particle 0 alone went non-finite.
+    one = jnp.where(table.color.reshape(-1)[0] >= 0,
                     jnp.float32(1.0), jnp.float32(2.0))
 
     for c in range(1, num_colors + 1):

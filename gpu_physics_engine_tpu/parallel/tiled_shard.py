@@ -505,8 +505,10 @@ class ShardedTiledEngine:
         if pallas_reloc:
             sweep_fn = make_sharded_tiled_step_fn(config, self.mesh,
                                                   relocate_only=True)
-            self._sweep = jax.jit(
-                lambda s, p: sweep_fn(s, p)[0], donate_argnums=0)
+            # keep the sweep's per-chip drop counts: the multi-hop
+            # straggler deferrals land exactly here, and discarding them
+            # would make per_chip_overflow read zero for the hottest slabs
+            self._sweep = jax.jit(sweep_fn, donate_argnums=0)
         else:
             # the jnp relocation is already exact every step
             self._sweep = None
@@ -541,7 +543,8 @@ class ShardedTiledEngine:
     def _maybe_sweep(self, p):
         if (self._sweep_interval and self._steps_done
                 and self._steps_done % self._sweep_interval == 0):
-            self.state = self._sweep(self.state, p)
+            self.state, drops = self._sweep(self.state, p)
+            self._drops_dev = self._drops_dev + drops
 
     def step(self, params=None):
         p = params or self.params()
@@ -648,6 +651,11 @@ class ShardedTiledEngine:
         import json as _json
         with np.load(path) as z:
             assert bytes(z["__kind__"].tobytes()) == b"tiled"
+            if "big_pid" in z:
+                raise ValueError(
+                    "checkpoint carries a big-particle overlay; the "
+                    "sharded engine has no overlay support — resume on "
+                    "the single-chip TiledEngine")
             cfg_dict = _json.loads(bytes(z["__config__"].tobytes()).decode())
             cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
             cfg_dict.update(config_overrides)

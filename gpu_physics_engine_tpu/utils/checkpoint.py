@@ -48,10 +48,21 @@ def load_checkpoint(path: str) -> Tuple[ParticleState, SimConfig]:
 # ---- tiled pipeline (ops/tiled.py): checkpoints store the particle
 # arrays (pid-ordered), not the tile layout — re-tiled on load ----
 
-def save_tiled_checkpoint(path: str, state, config: SimConfig) -> None:
+def save_tiled_checkpoint(path: str, state, config: SimConfig,
+                          big=None) -> None:
+    """``big`` = the engine's big-particle overlay (ops/bigs.py), saved
+    as separate arrays — oversized particles do not live in the tiles
+    and would otherwise be silently dropped."""
     from gpu_physics_engine_tpu.ops.tiled import export_particles
 
     pid, pos, prev, rad = export_particles(state)
+    extra = {}
+    if big is not None:
+        from gpu_physics_engine_tpu.ops.bigs import export_bigs
+        bpid, bpos, bprev, brad = export_bigs(big)
+        if len(bpid):
+            extra = dict(big_pid=bpid, big_positions=bpos,
+                         big_previous=bprev, big_radii=brad)
     np.savez_compressed(
         path,
         __version__=np.int32(_FORMAT_VERSION),
@@ -59,7 +70,26 @@ def save_tiled_checkpoint(path: str, state, config: SimConfig) -> None:
         __config__=np.frombuffer(
             json.dumps(dataclasses.asdict(config)).encode(), dtype=np.uint8),
         pid=pid, positions=pos, previous_positions=prev, radii=rad,
-        overflow=np.asarray(state.overflow_count))
+        overflow=np.asarray(state.overflow_count), **extra)
+
+
+def peek_tiled_config(path: str) -> SimConfig:
+    """The stored SimConfig without building any state."""
+    with np.load(path) as z:
+        assert bytes(z["__kind__"].tobytes()) == b"tiled"
+        cfg_dict = json.loads(bytes(z["__config__"].tobytes()).decode())
+        cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
+        return SimConfig(**cfg_dict)
+
+
+def load_tiled_bigs(path: str):
+    """(pids, positions, previous, radii) of the stored big-particle
+    overlay, or None when the checkpoint has none."""
+    with np.load(path) as z:
+        if "big_pid" not in z:
+            return None
+        return (z["big_pid"], z["big_positions"], z["big_previous"],
+                z["big_radii"])
 
 
 def load_tiled_checkpoint(path: str, config: SimConfig | None = None):

@@ -148,3 +148,37 @@ def test_overlay_respects_relocate_interval():
              + cfg.hysteresis_delta
              + (cfg.tiled_relocate_interval - 1) * cfg.drift_budget)
     assert W * t >= reach or W == (min(TY, TX) - 1) // 2
+
+
+def test_checkpoint_roundtrip_preserves_overlay(tmp_path):
+    """save_checkpoint must carry the big-particle overlay (oversized
+    spawns do not live in the tiles) and from_checkpoint must restore
+    it with velocity (previous positions) intact."""
+    eng = TiledEngine(_cfg(), seed=5)
+    eng.spawn_at((32.0, 32.0), count=30, verbose=False)
+    eng.run(5)
+    n = eng.num_particles()
+    bpid0, bpos0, bprev0, brad0 = bigs_ops.export_bigs(eng.big)
+    path = str(tmp_path / "bigs.npz")
+    eng.save_checkpoint(path)
+
+    eng2 = TiledEngine.from_checkpoint(path, seed=0)
+    assert eng2.num_particles() == n
+    assert eng2.big is not None
+    bpid1, bpos1, bprev1, brad1 = bigs_ops.export_bigs(eng2.big)
+    np.testing.assert_array_equal(bpid1, bpid0)
+    np.testing.assert_array_equal(bpos1, bpos0)
+    np.testing.assert_array_equal(bprev1, bprev0)   # velocity preserved
+    np.testing.assert_array_equal(brad1, brad0)
+    # resumed engine keeps running the hybrid step
+    eng2.run(3)
+    assert eng2.num_particles() == n
+    # new spawns must not collide with restored pids
+    assert eng2._next_pid > int(bpid0.max())
+
+    # the sharded engine has no overlay: must refuse, not silently drop
+    import pytest
+    from gpu_physics_engine_tpu.parallel.tiled_shard import (
+        ShardedTiledEngine)
+    with pytest.raises(ValueError, match="overlay"):
+        ShardedTiledEngine.from_checkpoint(path)
