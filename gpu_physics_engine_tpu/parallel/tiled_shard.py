@@ -103,6 +103,18 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
     the one-hop pull relocate): no physics, just the exact jnp
     relocation + cross-slab migration, one slab hop per invocation."""
     assert not (relocate_only and not do_relocate)
+    # refuse configs whose semantics this builder does not implement —
+    # silently running a different solver/relocation would present
+    # wrong results as parity (single-chip tiled.py branches on both)
+    if config.tiled_solver != "sweep":
+        raise ValueError(
+            f"tiled_solver={config.tiled_solver!r} is single-chip only "
+            "(the GS parity solver needs storage == home every step); "
+            "the sharded step runs the production Jacobi sweep")
+    if config.tiled_relocate_passes != 1:
+        raise ValueError(
+            "tiled_relocate_passes > 1 is not implemented on the "
+            "sharded step (single-chip only)")
     axis = config.mesh_axis
     n = mesh.devices.size
     t, TYp, TX, rows = sharded_tile_geometry(config, n)
@@ -111,14 +123,15 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
     up_perm = [(i, i - 1) for i in range(1, n)]
     dn_perm = [(i, i + 1) for i in range(n - 1)]
 
-    def exchange_rows(field, fill):
-        """(row_from_above, row_from_below), each [cap, 1, TX]."""
+    def exchange_rows(field):
+        """(row_from_above, row_from_below), each [cap, 1, TX].
+        ppermute zero-fills the mesh edges; vacancy at the edges is
+        carried by the separate occ plane (a zero pid row would read as
+        live particle 0 — never use the pid plane's halos directly)."""
         first = field[:, :1, :]
         last = field[:, -1:, :]
         from_below = jax.lax.ppermute(first, axis, up_perm)   # my bottom halo
         from_above = jax.lax.ppermute(last, axis, dn_perm)    # my top halo
-        if fill != 0.0:
-            pass  # ppermute zero-fills missing edges; occ/pid zeros = vacant
         return from_above, from_below
 
     # Backend/config selection is static (resolved at build time, not
@@ -153,7 +166,7 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
             occ = (local.pid >= 0).astype(jnp.float32)
             ext_fields = []
             for f in (local.x, local.y, local.radius, occ):
-                top, bot = exchange_rows(f, 0.0)
+                top, bot = exchange_rows(f)
                 ext_fields.append(jnp.concatenate([top, f, bot], axis=1))
             ex, ey, er, eocc = ext_fields
             epid = jnp.where(eocc > 0, 0, -1).astype(_I32)
@@ -213,10 +226,13 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
 
         flat_size = cap * rows * TX
 
-        def pack(mask, extra):
-            """Compact masked slots into [m_cap] field buffers."""
+        def pack(state, mask, extra, size):
+            """Compact masked slots of ``state`` into [size] buffers.
+            ``state`` is explicit on purpose: ship_crossers rebinds its
+            own ``local`` between directions, and a closure over the
+            enclosing one would silently pack stale fields."""
             fm = mask.reshape(-1)
-            (idx,) = jnp.nonzero(fm, size=m_cap, fill_value=flat_size)
+            (idx,) = jnp.nonzero(fm, size=size, fill_value=flat_size)
             live = idx < flat_size
             idx = jnp.where(live, idx, 0)
 
@@ -224,15 +240,19 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
                 v = a.reshape(-1)[idx]
                 return jnp.where(live, v, jnp.asarray(fill, v.dtype))
 
-            fields = (take(local.x, 0), take(local.y, 0),
-                      take(local.px, 0), take(local.py, 0),
-                      take(local.radius, 0), take(local.pid, -1))
+            fields = (take(state.x, 0), take(state.y, 0),
+                      take(state.px, 0), take(state.py, 0),
+                      take(state.radius, 0), take(state.pid, -1))
             extras = tuple(take(e, 0) for e in extra)
             n_mask = jnp.sum(fm.astype(_I32))
             return idx, live, fields, extras, n_mask
 
         total_drop = jnp.int32(0)
-        oob = flat_size + jnp.arange(m_cap, dtype=_I32)
+
+        def oob_of(size):
+            return flat_size + jnp.arange(size, dtype=_I32)
+
+        oob = oob_of(m_cap)
 
         def ship_crossers(go_up, go_dn, tx_target, local):
             """Ship slab-boundary crossers with a two-phase commit.
@@ -250,7 +270,7 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
                     (go_up, up_perm, dn_perm, rows - 1),
                     (go_dn, dn_perm, up_perm, 0)):
                 idx_c, live_c, fields_c, (txc,), n_cross = pack(
-                    mask, (tx_target,))
+                    local, mask, (tx_target,), m_cap)
                 # pack-buffer overflow: mover stays in place, deferred
                 total_drop += n_cross - jnp.sum(live_c.astype(_I32))
 
@@ -300,13 +320,20 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
             go_dn = mover & (ty_want_l >= rows)
             local_move = mover & stays
 
-            # local movers first (claim free slots in my slab)
+            # local movers first (claim free slots in my slab).  These
+            # use the single-chip mover_capacity, NOT the cross-slab
+            # migration_capacity: the periodic exact sweep relocates the
+            # whole hysteresis-band backlog at once, and capping it at
+            # m_cap (256) would strand multi-hop-stale movers for many
+            # sweeps at production scale.
+            l_cap = config.mover_capacity
             idx_l, live_l, fields_l, (tyl, txl), n_local = pack(
-                local_move, (jnp.clip(ty_want_l, 0, rows - 1), tx_want))
+                local, local_move, (jnp.clip(ty_want_l, 0, rows - 1),
+                                    tx_want), l_cap)
             total_drop += n_local - jnp.sum(live_l.astype(_I32))
             new_local, placed = tiled._insert_compacted(
                 local, tyl, txl, fields_l, live_l)
-            rm = jnp.where(placed, idx_l, oob)
+            rm = jnp.where(placed, idx_l, oob_of(l_cap))
             pidf = new_local.pid.reshape(-1).at[rm].set(
                 -1, mode="drop", unique_indices=True)
             local = dataclasses.replace(
@@ -441,6 +468,26 @@ class ShardedTiledEngine:
         self.config = config
         self.state = init_sharded_tiles(config, self.mesh, positions, radii,
                                         pids=pids, previous_positions=prev)
+        self._build_compiled()
+        self._steps_done = 0
+        self._next_pid = (int(np.max(pids)) + 1 if pids is not None
+                          and len(np.asarray(pids)) else n)
+        # cumulative per-chip deferral/drop counts (i32[n_shards]) — the
+        # physics-quality signal per slab.  Accumulated device-side
+        # (async) so run() keeps its dispatch pipelining; read via the
+        # per_chip_overflow property.
+        self._drops_dev = jax.device_put(
+            np.zeros(self.mesh.devices.size, np.int32),
+            NamedSharding(self.mesh, P(config.mesh_axis)))
+        self.timer = FrameTimer().start()
+        self.mouse_pos = (0.0, 0.0)
+        self.mouse_pressed = False
+
+    def _build_compiled(self):
+        """(Re)build every compiled function for self.config — called at
+        construction and after a config change (e.g. the uniform-radius
+        fallback on a mixed-radius spawn)."""
+        config = self.config
         step_fn = make_sharded_tiled_step_fn(config, self.mesh)
         # relocate every iv-th step (tiled_relocate_interval — TiledEngine
         # parity): the off-step program skips relocation AND migration
@@ -450,9 +497,13 @@ class ShardedTiledEngine:
                                                  do_relocate=False)
                       if iv > 1 else step_fn)
 
-        @jax.jit
-        def _step(state, p):
-            return step_fn(state, p)
+        _step = jax.jit(step_fn, donate_argnums=0)
+        # off-step program for single-step driving (TiledEngine parity:
+        # the relocate interval must hold for step()/remainder paths too)
+        _step_nr = (jax.jit(step_nr_fn, donate_argnums=0)
+                    if iv > 1 else _step)
+        self._reloc_iv = iv
+        self._since_reloc = 0
 
         # CHUNK steps scanned inside one program (facade parity with
         # TiledEngine: the tunneled runtime costs ~5.7 ms per dispatched
@@ -493,6 +544,7 @@ class ShardedTiledEngine:
         # distinct length is a fresh slow compile (see TiledEngine)
         self._scan_remainders = jax.default_backend() == "tpu"
         self._step = _step
+        self._step_nr = _step_nr
         # periodic EXACT relocate sweep (TiledEngine parity): the pull
         # relocate is one-hop, so multi-hop-stale movers need the exact
         # claim sweep at the Morton-resort cadence as the safety net
@@ -513,20 +565,7 @@ class ShardedTiledEngine:
             # the jnp relocation is already exact every step
             self._sweep = None
             self._sweep_interval = 0
-        self._steps_done = 0
         self._insert = make_sharded_insert(config, self.mesh)
-        self._next_pid = (int(np.max(pids)) + 1 if pids is not None
-                          and len(np.asarray(pids)) else n)
-        # cumulative per-chip deferral/drop counts (i32[n_shards]) — the
-        # physics-quality signal per slab.  Accumulated device-side
-        # (async) so run() keeps its dispatch pipelining; read via the
-        # per_chip_overflow property.
-        self._drops_dev = jax.device_put(
-            np.zeros(self.mesh.devices.size, np.int32),
-            NamedSharding(self.mesh, P(config.mesh_axis)))
-        self.timer = FrameTimer().start()
-        self.mouse_pos = (0.0, 0.0)
-        self.mouse_pressed = False
 
     def params(self, dt=None):
         return StepParams.make(
@@ -545,11 +584,20 @@ class ShardedTiledEngine:
                 and self._steps_done % self._sweep_interval == 0):
             self.state, drops = self._sweep(self.state, p)
             self._drops_dev = self._drops_dev + drops
+            self._since_reloc = 0  # the exact sweep restores storage==home
+
+    def _single_step(self, p):
+        """One step honoring the relocate interval (TiledEngine parity)."""
+        off = (self._reloc_iv > 1
+               and self._since_reloc < self._reloc_iv - 1)
+        state, drops = (self._step_nr if off else self._step)(self.state, p)
+        self._since_reloc = self._since_reloc + 1 if off else 0
+        return state, drops
 
     def step(self, params=None):
         p = params or self.params()
         self._maybe_sweep(p)
-        self.state, drops = self._step(self.state, p)
+        self.state, drops = self._single_step(p)
         self._drops_dev = self._drops_dev + drops
         self._steps_done += 1
         return self.state
@@ -565,15 +613,23 @@ class ShardedTiledEngine:
                 rem = self._steps_done % self._sweep_interval
                 bound = min(bound, self._sweep_interval - rem
                             if rem else self._sweep_interval)
+            window = False
             if bound >= self.CHUNK:
                 self.state, drops = self._chunk(self.state, p)
                 took = self.CHUNK
+                window = True
             elif bound > 1 and self._scan_remainders:
                 self.state, drops = self._chunk_of(bound)(self.state, p)
                 took = bound
+                window = True
             else:
-                self.state, drops = self._step(self.state, p)
+                self.state, drops = self._single_step(p)
                 took = 1
+            if window:
+                # windows relocate first, then group by iv: the tail of
+                # a length-L window has (L-1) % iv un-relocated steps
+                self._since_reloc = ((took - 1) % self._reloc_iv
+                                     if self._reloc_iv > 1 else 0)
             self._drops_dev = self._drops_dev + drops
             self._steps_done += took
             done += took
@@ -604,6 +660,16 @@ class ShardedTiledEngine:
         sy = jnp.clip(sy, 0.0, self.config.world_height - 1e-3)
         ids = jnp.arange(count, dtype=jnp.int32) + self._next_pid
         self._next_pid += count
+        if self.config.tiled_uniform_radius and bool(np.any(
+                np.asarray(radii)
+                != np.float32(self.config.initial_radius))):
+            # spawned radii break the uniform-radius premise — the
+            # constant-rsum sweep would resolve their pairs as if they
+            # were initial_radius (TiledEngine parity fallback)
+            print("[tiled] spawn with non-uniform radii: disabling "
+                  "tiled_uniform_radius")
+            self.config = self.config.replace(tiled_uniform_radius=False)
+            self._build_compiled()
         self.state = self._insert(
             self.state, jnp.stack([sx, sy], -1), radii, ids)
         if verbose:
@@ -648,18 +714,17 @@ class ShardedTiledEngine:
     @classmethod
     def from_checkpoint(cls, path: str, mesh: Mesh = None, seed: int = 0,
                         **config_overrides) -> "ShardedTiledEngine":
-        import json as _json
+        from gpu_physics_engine_tpu.utils.checkpoint import (
+            load_tiled_bigs, peek_tiled_config)
+        if load_tiled_bigs(path) is not None:
+            raise ValueError(
+                "checkpoint carries a big-particle overlay; the sharded "
+                "engine has no overlay support — resume on the "
+                "single-chip TiledEngine")
+        config = peek_tiled_config(path)
+        if config_overrides:
+            config = config.replace(**config_overrides)
         with np.load(path) as z:
-            assert bytes(z["__kind__"].tobytes()) == b"tiled"
-            if "big_pid" in z:
-                raise ValueError(
-                    "checkpoint carries a big-particle overlay; the "
-                    "sharded engine has no overlay support — resume on "
-                    "the single-chip TiledEngine")
-            cfg_dict = _json.loads(bytes(z["__config__"].tobytes()).decode())
-            cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
-            cfg_dict.update(config_overrides)
-            config = SimConfig(**cfg_dict)
             arrays = (z["positions"], z["radii"], z["pid"],
                       z["previous_positions"])
             eng = cls(config, mesh=mesh, seed=seed, initial_arrays=arrays)

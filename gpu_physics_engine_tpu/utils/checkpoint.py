@@ -77,6 +77,9 @@ def peek_tiled_config(path: str) -> SimConfig:
     """The stored SimConfig without building any state."""
     with np.load(path) as z:
         assert bytes(z["__kind__"].tobytes()) == b"tiled"
+        version = int(z["__version__"])
+        assert version == _FORMAT_VERSION, \
+            f"unknown checkpoint version {version}"
         cfg_dict = json.loads(bytes(z["__config__"].tobytes()).decode())
         cfg_dict["gravity"] = tuple(cfg_dict["gravity"])
         return SimConfig(**cfg_dict)

@@ -1,9 +1,11 @@
 #!/bin/bash
 # Round-2 post-relay TPU runbook: waits for the relay, then runs the
 # pending hardware work IN SEQUENCE (one TPU process at a time):
-#   1. tpu_sweep_iv2.py  — interval/cap refinement for the bench picks
-#   2. tpu_probe_gsmx.py — GS mx layout vs flat + raw-f32 exactness
-#   3. bench.py          — full 8-size curve with the (current) picks
+#   1. tpu_sweep_iv2.py     — interval/cap refinement for the bench picks
+#   2. tpu_probe_gsrank.py  — GS rank v2 (selection network) vs minloop
+#   3. tpu_probe_uniform.py — uniform-radius sweep vs general
+#   4. tpu_probe_gsmx.py    — GS mx layout vs flat + raw-f32 exactness
+#   5. bench.py             — full 8-size curve with the (current) picks
 # Logs under /tmp; JSONL results under /tmp/tpu_*.jsonl + /tmp/bench_r2.json.
 #
 # Run: nohup bash scripts/tpu_r2_runbook.sh > /tmp/runbook.log 2>&1 &
@@ -36,15 +38,23 @@ print(f"[runbook] ping ok ({v}) in {time.time()-t0:.1f}s", flush=True)
 EOF
 if [ $? -ne 0 ]; then echo "[runbook] ping FAILED; aborting"; exit 1; fi
 
-echo "[runbook] === 1/3 sweep_iv2 ==="
+echo "[runbook] === 1/5 sweep_iv2 ==="
 python scripts/tpu_sweep_iv2.py > /tmp/sweep_iv2_rb.log 2>&1
 echo "[runbook] sweep_iv2 done rc=$?"
 
-echo "[runbook] === 2/3 probe_gsmx ==="
+echo "[runbook] === 2/5 probe_gsrank ==="
+python scripts/tpu_probe_gsrank.py > /tmp/probe_gsrank_rb.log 2>&1
+echo "[runbook] probe_gsrank done rc=$?"
+
+echo "[runbook] === 3/5 probe_uniform ==="
+python scripts/tpu_probe_uniform.py > /tmp/probe_uniform_rb.log 2>&1
+echo "[runbook] probe_uniform done rc=$?"
+
+echo "[runbook] === 4/5 probe_gsmx ==="
 python scripts/tpu_probe_gsmx.py > /tmp/probe_gsmx_rb.log 2>&1
 echo "[runbook] probe_gsmx done rc=$?"
 
-echo "[runbook] === 3/3 bench ==="
+echo "[runbook] === 5/5 bench ==="
 python bench.py > /tmp/bench_r2.json 2>/tmp/bench_r2.err
 echo "[runbook] bench done rc=$?"
 tail -1 /tmp/bench_r2.json

@@ -505,3 +505,52 @@ def test_sharded_tiled_periodic_exact_sweep(mesh8):
     o1, o2 = np.argsort(p1), np.argsort(p2)
     np.testing.assert_allclose(x1[o1], x2[o2], atol=2e-3)
     assert np.isfinite(x2).all()
+
+
+def test_sharded_tiled_step_honors_relocate_interval(mesh8):
+    """Single-step driving (step(), not run()) must honor
+    tiled_relocate_interval exactly like the scanned windows do: a
+    step()-driven engine with iv=2 matches a run()-driven one bit for
+    bit (same phase counter semantics)."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel.tiled_shard import (
+        ShardedTiledEngine)
+
+    kw = dict(initial_particles=160, gravity=(0.0, -30.0),
+              tiled_relocate="pallas", tiled_match="flip",
+              tiled_relocate_interval=2)
+    e1 = ShardedTiledEngine(_tcfg(**kw), mesh=mesh8, seed=3)
+    e2 = ShardedTiledEngine(_tcfg(**kw), mesh=mesh8, seed=3)
+    e1.run(8)
+    for _ in range(8):
+        e2.step()
+    p1, x1, v1, _ = export_particles(e1.state)
+    p2, x2, v2, _ = export_particles(e2.state)
+    assert len(p1) == len(p2) == 160
+    o1, o2 = np.argsort(p1), np.argsort(p2)
+    np.testing.assert_array_equal(p1[o1], p2[o2])
+    np.testing.assert_array_equal(x1[o1], x2[o2])
+    np.testing.assert_array_equal(v1[o1], v2[o2])
+
+
+def test_sharded_tiled_spawn_disables_uniform_radius(mesh8):
+    """Spawning mixed radii under tiled_uniform_radius=True must flip
+    the engine to the general (radius-reading) sweep — the constant-rsum
+    kernel would resolve the new pairs as if every radius were
+    initial_radius."""
+    from gpu_physics_engine_tpu.parallel.tiled_shard import (
+        ShardedTiledEngine)
+
+    cfg = _tcfg(initial_particles=64, max_particles=512,
+                tile_max_radius=1.0, tile_cap=0,
+                tiled_uniform_radius=True)
+    eng = ShardedTiledEngine(cfg, mesh=mesh8, seed=0)
+    assert eng.config.tiled_uniform_radius
+    eng.run(3)
+    before = eng.num_particles()
+    eng.spawn_at((32.0, 32.0), count=8, verbose=False)
+    # ring_burst draws radii in [1, r_hi] != initial_radius 0.5
+    assert not eng.config.tiled_uniform_radius
+    eng.run(3)
+    lost = int(np.asarray(eng.state.overflow_count))
+    assert eng.num_particles() == before + 8 - lost
