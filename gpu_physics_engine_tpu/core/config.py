@@ -194,6 +194,18 @@ class SimConfig:
     # fuse Verlet integration into the Pallas collide kernel (one band
     # read/write per substep instead of a separate XLA integrate pass)
     tiled_fuse_integrate: bool = True
+    # Newton's-third-law sweep (ops/tiled_pallas.py::_pair_sweep_newton):
+    # evaluate each cross-tile pair ONCE (self tile + 4 forward offsets
+    # instead of all 9) and scatter the reaction half back by rolling the
+    # per-slot reaction planes to the partner tile; band-seam reactions
+    # ride a VMEM scratch carry between the sequential grid steps.
+    # 5*cap^2 candidate evaluations per tile instead of 9*cap^2 on a
+    # sweep that is VPU-bound (PERF.md roofline), and the 'up' neighbor
+    # blocks are never read.  Same pair set and per-pair math; the
+    # accumulation ORDER differs, so positions match the standard sweep
+    # to f32 rounding (~1e-6 world units), not bitwise.  Off until
+    # hardware-verified (scripts/tpu_probe_newton.py).
+    tiled_newton: bool = False
     # every particle has radius == initial_radius (the BASELINE scenes'
     # case: constant 0.5, particle_system.rs:117).  The Pallas sweep then
     # folds rsum = 2*r0 and the inverse-mass split 1/2 into compile-time

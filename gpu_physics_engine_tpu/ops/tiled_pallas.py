@@ -192,17 +192,175 @@ def _pair_sweep(xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
     return x, y, acc_x, acc_y
 
 
-def _collide_band_kernel(*refs, cap: int, stiffness: float, r0=None):
+def _pair_sweep_newton(xm, xd, ym, yd, rrefs, pm, pd, sx_ref, sy_ref,
+                       *, cap: int, stiffness: float, r0=None):
+    """Newton's-third-law pair sweep over one band (SimConfig.tiled_newton).
+
+    The standard sweep (_pair_sweep) evaluates every cross-tile pair TWICE
+    — each endpoint gathers its own half from all 9 neighbor offsets.
+    Here each cross-tile pair is evaluated ONCE: only the self tile and
+    the 4 FORWARD offsets (0,+1), (+1,-1), (+1,0), (+1,+1) are swept, and
+    the reaction half is scattered back to the partner by rolling the
+    per-slot reaction planes to the partner's tile (the reaction onto
+    slot k of the partner is the sum over my slots of terms already
+    computed for my half — one cap-axis reduction).  5*cap^2 candidate
+    evaluations per tile instead of 9*cap^2 on a sweep that is VPU-bound
+    (PERF.md roofline), and the 'up' neighbor blocks are never read
+    (2 blocks/field instead of 3).
+
+    Row band-1's dy=+1 reactions belong to the NEXT band's row 0: they
+    are parked in VMEM scratch (sx_ref/sy_ref) and consumed by the next
+    grid step — TPU Pallas grid steps execute sequentially on the core,
+    so scratch written by band i is visible to band i+1 (verified in
+    interpret mode too).  The last band's spill lands on the empty border
+    ring (or on sharded halo rows the caller slices away) and dies there.
+
+    Same pair set and per-pair math as _pair_sweep; the accumulation
+    ORDER differs, so positions agree to f32 rounding (~1e-6 world
+    units), not bitwise (tests/test_newton.py)."""
+    x, y = xm[...], ym[...]
+    pid_m = pm[...]
+    occ = (pid_m >= 0).astype(jnp.float32)
+    band = x.shape[1]
+    ntx = x.shape[2]
+    i = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+
+    def below(m, d):
+        # row j's "below" = global row j+1 (next band's row 0 at the seam)
+        return jnp.where(row == band - 1, pltpu.roll(d, band - 1, axis=1),
+                         pltpu.roll(m, band - 1, axis=1))
+
+    xb = below(x, xd[...])
+    yb = below(y, yd[...])
+    ob = (below(pid_m, pd[...]) >= 0).astype(jnp.float32)
     if r0 is None:
+        r = rrefs[0][...]
+        rb = below(r, rrefs[1][...])
+        rsum_c = rsum2_c = half_stiff = None
+    else:
+        r = rb = None
+        rsum_c = jnp.float32(2.0 * r0)
+        rsum2_c = jnp.float32((2.0 * r0) * (2.0 * r0))
+        half_stiff = jnp.float32(0.5 * stiffness)
+
+    # incoming spill: reactions from band i-1's last row onto my row 0
+    # (scratch is garbage at i == 0; the where masks it to zero)
+    acc_x = jnp.where(i > 0, sx_ref[...], 0.0)
+    acc_y = jnp.where(i > 0, sy_ref[...], 0.0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1, 1), 0)
+    min2 = MIN_DISTANCE * MIN_DISTANCE
+
+    def pair_terms(xo, yo, ro, oo, k, self_tile):
+        """Candidate slot k's pair terms vs all my slots.  Returns
+        (my_x, my_y, bx, by): my half of the correction, plus — general
+        radius only — the shared base terms (bx, by) the reaction is
+        scaled from (uniform radius halves are symmetric: bx/by None)."""
+        xk = xo[k:k + 1]
+        yk = yo[k:k + 1]
+        ok = oo[k:k + 1]
+        ddx = x - xk
+        ddy = y - yk
+        d2 = ddx * ddx + ddy * ddy
+        if ro is None:
+            rsum2 = rsum2_c
+        else:
+            rk = ro[k:k + 1]
+            rsum = r + rk
+            rsum2 = rsum * rsum
+        pair = ((rsum2 > d2) & (d2 > min2)).astype(jnp.float32)
+        if self_tile:
+            pair = pair * (slot != k).astype(jnp.float32)
+        w = pair * occ * ok
+        inv = jax.lax.rsqrt(jnp.maximum(d2, min2))
+        dist = d2 * inv
+        if ro is None:
+            coef = inv * ((rsum_c - dist) * half_stiff) * w
+            return ddx * coef, ddy * coef, None, None
+        pen = (rsum - dist) * jnp.float32(stiffness)
+        base = inv * pen * w * jax.lax.rsqrt(jnp.maximum(rsum2, min2))
+        bx = ddx * base
+        by = ddy * base
+        # my half: partner's radius share (collision_solver.wgsl:101-110)
+        return bx * rk, by * rk, bx, by
+
+    # --- self tile: both halves in place, exactly like _pair_sweep ---
+    for k in range(cap):
+        mx_k, my_k, _, _ = pair_terms(x, y, r, occ, k, True)
+        acc_x = acc_x + mx_k
+        acc_y = acc_y + my_k
+
+    # --- forward offsets: evaluate once, scatter the reaction ---
+    spill_x = jnp.zeros_like(x)
+    spill_y = jnp.zeros_like(y)
+    for dy, (xs, ys, rs, os_) in ((0, (x, y, r, occ)),
+                                  (1, (xb, yb, rb, ob))):
+        for dx in ((1,) if dy == 0 else (-1, 0, 1)):
+            xo = _lane(xs, dx)
+            yo = _lane(ys, dx)
+            ro = None if rs is None else _lane(rs, dx)
+            oo = _lane(os_, dx)
+            react_x = []
+            react_y = []
+            for k in range(cap):
+                mx_k, my_k, bx, by = pair_terms(xo, yo, ro, oo, k, False)
+                acc_x = acc_x + mx_k
+                acc_y = acc_y + my_k
+                if bx is None:  # uniform radius: symmetric halves
+                    react_x.append(-jnp.sum(mx_k, axis=0, keepdims=True))
+                    react_y.append(-jnp.sum(my_k, axis=0, keepdims=True))
+                else:           # general: reaction scaled by MY radius
+                    react_x.append(-jnp.sum(bx * r, axis=0, keepdims=True))
+                    react_y.append(-jnp.sum(by * r, axis=0, keepdims=True))
+            rx = jnp.concatenate(react_x, axis=0)
+            ry = jnp.concatenate(react_y, axis=0)
+            # move the reaction planes to the partner tile: +dx lanes
+            # (wrap feeds the empty border columns — zero contributions),
+            # +1 row, with the band-seam row parked in the spill carry
+            if dx:
+                rx = pltpu.roll(rx, dx % ntx, axis=2)
+                ry = pltpu.roll(ry, dx % ntx, axis=2)
+            if dy:
+                rx = pltpu.roll(rx, 1, axis=1)
+                ry = pltpu.roll(ry, 1, axis=1)
+                seam = row == 0
+                spill_x = spill_x + jnp.where(seam, rx, 0.0)
+                spill_y = spill_y + jnp.where(seam, ry, 0.0)
+                rx = jnp.where(seam, 0.0, rx)
+                ry = jnp.where(seam, 0.0, ry)
+            acc_x = acc_x + rx
+            acc_y = acc_y + ry
+
+    sx_ref[...] = spill_x
+    sy_ref[...] = spill_y
+    return x, y, acc_x, acc_y
+
+
+def _collide_band_kernel(*refs, cap: int, stiffness: float, r0=None,
+                         newton: bool = False):
+    if newton:
+        if r0 is None:
+            (xm, xd, ym, yd, rm, rd, pm, pd,
+             outx_ref, outy_ref, sx, sy) = refs
+            rrefs = (rm, rd)
+        else:
+            xm, xd, ym, yd, pm, pd, outx_ref, outy_ref, sx, sy = refs
+            rrefs = None
+        x, y, acc_x, acc_y = _pair_sweep_newton(
+            xm, xd, ym, yd, rrefs, pm, pd, sx, sy,
+            cap=cap, stiffness=stiffness, r0=r0)
+    elif r0 is None:
         (xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
          outx_ref, outy_ref) = refs
         rrefs = (ru, rm, rd)
+        x, y, acc_x, acc_y = _pair_sweep(
+            xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
+            cap=cap, stiffness=stiffness, r0=r0)
     else:
         xu, xm, xd, yu, ym, yd, pu, pm, pd, outx_ref, outy_ref = refs
-        rrefs = None
-    x, y, acc_x, acc_y = _pair_sweep(
-        xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
-        cap=cap, stiffness=stiffness, r0=r0)
+        x, y, acc_x, acc_y = _pair_sweep(
+            xu, xm, xd, yu, ym, yd, None, pu, pm, pd,
+            cap=cap, stiffness=stiffness, r0=r0)
     outx_ref[...] = x + acc_x
     outy_ref[...] = y + acc_y
 
@@ -217,22 +375,39 @@ def _collide_integrate_band_kernel(prm, *refs, cap: int, config):
     from gpu_physics_engine_tpu.ops.integrate import apply_world_constraint
 
     r0 = config.initial_radius if config.tiled_uniform_radius else None
-    if r0 is None:
+    if config.tiled_newton:
+        if r0 is None:
+            (xm, xd, ym, yd, rm, rd, pm, pd, pxm, pym,
+             ox, oy, opx, opy, sx, sy) = refs
+            rrefs = (rm, rd)
+        else:
+            (xm, xd, ym, yd, pm, pd, pxm, pym,
+             ox, oy, opx, opy, sx, sy) = refs
+            rrefs = None
+        x, y, acc_x, acc_y = _pair_sweep_newton(
+            xm, xd, ym, yd, rrefs, pm, pd, sx, sy,
+            cap=cap, stiffness=config.stiffness, r0=r0)
+        r_mid = rrefs[0] if rrefs is not None else None
+    elif r0 is None:
         (xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, pxm, pym,
          ox, oy, opx, opy) = refs
         rrefs = (ru, rm, rd)
+        x, y, acc_x, acc_y = _pair_sweep(
+            xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
+            cap=cap, stiffness=config.stiffness, r0=r0)
+        r_mid = rm
     else:
         (xu, xm, xd, yu, ym, yd, pu, pm, pd, pxm, pym,
          ox, oy, opx, opy) = refs
-        rrefs = None
-    x, y, acc_x, acc_y = _pair_sweep(
-        xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
-        cap=cap, stiffness=config.stiffness, r0=r0)
+        x, y, acc_x, acc_y = _pair_sweep(
+            xu, xm, xd, yu, ym, yd, None, pu, pm, pd,
+            cap=cap, stiffness=config.stiffness, r0=r0)
+        r_mid = None
     cx = x + acc_x
     cy = y + acc_y
 
     occ = pm[...] >= 0
-    r = jnp.float32(r0) if r0 is not None else rrefs[1][...]
+    r = jnp.float32(r0) if r0 is not None else r_mid[...]
     vel_x = cx - pxm[...]
     vel_y = cy - pym[...]
     dt = prm[0]
@@ -286,21 +461,29 @@ def collide_pallas(state: TileState, config: SimConfig,
                             memory_space=pltpu.VMEM)
 
     r0 = config.initial_radius if config.tiled_uniform_radius else None
+    newton = config.tiled_newton
     fields = (x, y, pid) if r0 is not None else (x, y, r, pid)
     in_specs = []
     args = []
     for a in fields:
-        in_specs += [spec(up), spec(mid), spec(dn)]
-        args += [a, a, a]
+        if newton:
+            in_specs += [spec(mid), spec(dn)]
+            args += [a, a]
+        else:
+            in_specs += [spec(up), spec(mid), spec(dn)]
+            args += [a, a, a]
     out_spec = pl.BlockSpec((cap, BAND, TX), mid, memory_space=pltpu.VMEM)
 
     kernel = partial(_collide_band_kernel, cap=cap,
-                     stiffness=config.stiffness, r0=r0)
+                     stiffness=config.stiffness, r0=r0, newton=newton)
     # 14 blocks x cap*BAND*TX*4B double-buffered plus the unrolled sweep's
     # stack temporaries blow the 16MB default scoped-VMEM limit (measured
     # 19.25M blocks-only at cap=16, TX=1388; stack OOMs appear even on
     # small worlds).  v5e has 128M physical VMEM; use a flat generous cap.
     vmem_bytes = 116 * (1 << 20)
+    # newton: the band-seam reaction carry between sequential grid steps
+    scratch = ([pltpu.VMEM((cap, BAND, TX), jnp.float32)] * 2
+               if newton else [])
     nx, ny = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -310,6 +493,7 @@ def collide_pallas(state: TileState, config: SimConfig,
             _sds((cap, TYp, TX), jnp.float32, vma),
             _sds((cap, TYp, TX), jnp.float32, vma),
         ),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=_interpret(),
     )(*args)
@@ -356,11 +540,17 @@ def collide_integrate_pallas(state: TileState, params, config: SimConfig,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     args = [prm]
     for a in fields:
-        in_specs += [spec(up), spec(mid), spec(dn)]
-        args += [a, a, a]
+        if config.tiled_newton:  # the Newton sweep never reads 'up'
+            in_specs += [spec(mid), spec(dn)]
+            args += [a, a]
+        else:
+            in_specs += [spec(up), spec(mid), spec(dn)]
+            args += [a, a, a]
     in_specs += [spec(mid), spec(mid)]
     args += [px, py]
 
+    scratch = ([pltpu.VMEM((cap, BAND, TX), jnp.float32)] * 2
+               if config.tiled_newton else [])
     kernel = partial(_collide_integrate_band_kernel, cap=cap, config=config)
     outs = pl.pallas_call(
         kernel,
@@ -369,6 +559,7 @@ def collide_integrate_pallas(state: TileState, params, config: SimConfig,
         out_specs=(spec(mid),) * 4,
         out_shape=tuple(
             _sds((cap, TYp, TX), jnp.float32, vma) for _ in range(4)),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=116 * (1 << 20)),
         interpret=_interpret(),

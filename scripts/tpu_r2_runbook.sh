@@ -59,3 +59,8 @@ python bench.py > /tmp/bench_r2.json 2>/tmp/bench_r2.err
 echo "[runbook] bench done rc=$?"
 tail -1 /tmp/bench_r2.json
 echo "[runbook] ALL DONE at $(date)"
+
+echo "[runbook] === 6/6 probe_newton ==="
+python scripts/tpu_probe_newton.py > /tmp/probe_newton_rb.log 2>&1
+echo "[runbook] probe_newton done rc=$?"
+echo "[runbook] ALL DONE at $(date)"

@@ -358,6 +358,40 @@ def test_sharded_tiled_uniform_radius_matches_general(mesh8):
     np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-4)
 
 
+def test_sharded_tiled_newton_matches_standard(mesh8):
+    """tiled_newton inside shard_map: slab-boundary pairs are evaluated
+    once per slab (each keeps the half landing on its own rows; the halo
+    half is sliced away), so the Newton sweep must track the standard
+    9-offset sweep to rounding and conserve particles."""
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+
+    rng = np.random.default_rng(13)
+    n = 160
+    positions = np.stack([
+        rng.uniform(1.0, 63.0, n), rng.uniform(1.0, 63.0, n)],
+        -1).astype(np.float32)
+    radii = np.full(n, 0.5, np.float32)
+
+    results = []
+    for newton in (False, True):
+        cfg = _tcfg(initial_particles=n, tile_cap=4,
+                    tiled_collide="pallas", tiled_fuse_integrate=True,
+                    tiled_newton=newton)
+        st = tiled_shard.init_sharded_tiles(cfg, mesh8, positions, radii)
+        step = tiled_shard.make_sharded_tiled_step(cfg, mesh8)
+        params = StepParams.make(cfg.dt)
+        for _ in range(8):
+            st = step(st, params)
+        pid, pos, prev, _ = export_particles(st)
+        assert int(st.num_active) == n
+        order = np.argsort(pid)
+        results.append((pid[order], pos[order], prev[order]))
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_allclose(results[1][1], results[0][1], atol=1e-4)
+    np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-4)
+
+
 def test_sharded_tiled_pull_relocate_matches_claim(mesh8):
     """The slab pull relocate (interpret-mode Pallas inside shard_map)
     conserves particles and matches the claim-relocate trajectories."""
