@@ -1,0 +1,43 @@
+"""Machine-fingerprinted JAX persistent-cache directory.
+
+The work tree migrates between container hosts across sessions while
+/tmp's compile cache persists.  XLA's CPU backend stores AOT executables
+whose key does NOT fully cover the host's CPU feature set: entries
+compiled on a previous (different) machine still load here, with a
+cpu_aot_loader warning ("machine type ... doesn't match ... could lead
+to execution errors such as SIGILL") — and, observed in practice,
+f32 contraction drift large enough to fail 1e-4 engine-parity tests
+(tests/test_gs_tiled.py caught it).  Salting the cache directory with a
+fingerprint of the host CPU + jax version makes foreign entries a clean
+miss instead of a poisoned hit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def cache_dir(base: str = "/tmp/gpe_tpu_jax_cache") -> str:
+    """``base`` salted with a host-CPU/jax-version fingerprint."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    import jax
+    fp = hashlib.md5(
+        (flags + jax.__version__).encode()).hexdigest()[:10]
+    return f"{base}_{fp}"
+
+
+def enable_persistent_cache(min_compile_secs: float = 0.5) -> str:
+    """Point JAX's persistent compilation cache at the fingerprinted
+    directory (honoring an explicit JAX_COMPILATION_CACHE_DIR override)
+    and return the directory used."""
+    import jax
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or cache_dir()
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return path

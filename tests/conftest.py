@@ -19,5 +19,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is dominated by jit compiles of
 # small fixed configs; caching them makes repeat runs several times faster.
-jax.config.update("jax_compilation_cache_dir", "/tmp/gpe_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The directory is salted with a host-CPU fingerprint: the work tree moves
+# between machines across sessions, and XLA:CPU AOT entries from a foreign
+# machine LOAD rather than miss — with numerics drift that broke 1e-4
+# engine-parity tolerances (utils/cache.py has the full story).
+from gpu_physics_engine_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
