@@ -244,10 +244,16 @@ def _pair_sweep_newton(xm, xd, ym, yd, rrefs, pm, pd, sx_ref, sy_ref,
         rsum2_c = jnp.float32((2.0 * r0) * (2.0 * r0))
         half_stiff = jnp.float32(0.5 * stiffness)
 
-    # incoming spill: reactions from band i-1's last row onto my row 0
-    # (scratch is garbage at i == 0; the where masks it to zero)
-    acc_x = jnp.where(i > 0, sx_ref[...], 0.0)
-    acc_y = jnp.where(i > 0, sy_ref[...], 0.0)
+    # incoming spill: reactions from band i-1's last row onto my row 0.
+    # Scratch is uninitialized at i == 0 (could hold NaN payloads on
+    # hardware): zero it outright rather than masking around it.
+    @pl.when(i == 0)
+    def _zero_spill():
+        sx_ref[...] = jnp.zeros_like(x)
+        sy_ref[...] = jnp.zeros_like(x)
+
+    acc_x = sx_ref[...]
+    acc_y = sy_ref[...]
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1, 1), 0)
     min2 = MIN_DISTANCE * MIN_DISTANCE
 
