@@ -355,20 +355,24 @@ def _collide_band_kernel(*refs, cap: int, stiffness: float, r0=None,
         x, y, acc_x, acc_y = _pair_sweep_newton(
             xm, xd, ym, yd, rrefs, pm, pd, sx, sy,
             cap=cap, stiffness=stiffness, r0=r0)
-    elif r0 is None:
-        (xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-         outx_ref, outy_ref) = refs
-        rrefs = (ru, rm, rd)
+    else:
+        if r0 is None:
+            (xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+             outx_ref, outy_ref) = refs
+            rrefs = (ru, rm, rd)
+        else:
+            xu, xm, xd, yu, ym, yd, pu, pm, pd, outx_ref, outy_ref = refs
+            rrefs = None
         x, y, acc_x, acc_y = _pair_sweep(
             xu, xm, xd, yu, ym, yd, rrefs, pu, pm, pd,
             cap=cap, stiffness=stiffness, r0=r0)
-    else:
-        xu, xm, xd, yu, ym, yd, pu, pm, pd, outx_ref, outy_ref = refs
-        x, y, acc_x, acc_y = _pair_sweep(
-            xu, xm, xd, yu, ym, yd, None, pu, pm, pd,
-            cap=cap, stiffness=stiffness, r0=r0)
     outx_ref[...] = x + acc_x
     outy_ref[...] = y + acc_y
+
+
+def _newton_scratch(cap: int, TX: int):
+    """VMEM scratch pair carrying the band-seam reaction spill."""
+    return [pltpu.VMEM((cap, BAND, TX), jnp.float32)] * 2
 
 
 def _collide_integrate_band_kernel(prm, *refs, cap: int, config):
@@ -487,9 +491,7 @@ def collide_pallas(state: TileState, config: SimConfig,
     # 19.25M blocks-only at cap=16, TX=1388; stack OOMs appear even on
     # small worlds).  v5e has 128M physical VMEM; use a flat generous cap.
     vmem_bytes = 116 * (1 << 20)
-    # newton: the band-seam reaction carry between sequential grid steps
-    scratch = ([pltpu.VMEM((cap, BAND, TX), jnp.float32)] * 2
-               if newton else [])
+    scratch = _newton_scratch(cap, TX) if newton else []
     nx, ny = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -555,8 +557,7 @@ def collide_integrate_pallas(state: TileState, params, config: SimConfig,
     in_specs += [spec(mid), spec(mid)]
     args += [px, py]
 
-    scratch = ([pltpu.VMEM((cap, BAND, TX), jnp.float32)] * 2
-               if config.tiled_newton else [])
+    scratch = _newton_scratch(cap, TX) if config.tiled_newton else []
     kernel = partial(_collide_integrate_band_kernel, cap=cap, config=config)
     outs = pl.pallas_call(
         kernel,

@@ -20,14 +20,19 @@ import os
 
 def cache_dir(base: str = "/tmp/gpe_tpu_jax_cache") -> str:
     """``base`` salted with a host-CPU/jax-version fingerprint."""
+    import platform
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            # x86 spells the ISA-extension line "flags", aarch64
+            # "Features"; first hit is enough (all cores identical)
+            flags = next((ln for ln in f
+                          if ln.startswith(("flags", "Features"))), "")
     except OSError:
         flags = ""
     import jax
     fp = hashlib.md5(
-        (flags + jax.__version__).encode()).hexdigest()[:10]
+        (platform.machine() + flags + jax.__version__)
+        .encode()).hexdigest()[:10]
     return f"{base}_{fp}"
 
 

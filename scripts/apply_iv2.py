@@ -53,6 +53,8 @@ def load_rows(paths):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bound", type=float, default=QUALITY_BOUND_DEFAULT)
+    ap.add_argument("--newton", action="store_true",
+                    help="digest tiled_newton sweep rows instead")
     ap.add_argument("extra", nargs="*", help="additional jsonl files")
     args = ap.parse_args()
 
@@ -60,6 +62,20 @@ def main():
     if not rows:
         print("no sweep rows found; did the runbook run?", file=sys.stderr)
         return 1
+
+    # Newton-sweep rows (tpu_sweep_iv3.py) time a kernel bench.py only
+    # runs when tiled_newton is flipped on — never let them compete with
+    # standard-sweep rows for the same picks table.  Digest them with
+    # --newton (and only adopt those picks together with the bench flip).
+    newton_rows = [d for d in rows if d.get("newton")]
+    rows = [d for d in rows if not d.get("newton")]
+    if args.newton:
+        rows = newton_rows
+        print("(newton-sweep rows only — adopt together with "
+              "tiled_newton=True in bench.py)\n")
+    elif newton_rows:
+        print(f"[note] {len(newton_rows)} newton rows excluded; "
+              "re-run with --newton to digest them\n")
 
     from gpu_physics_engine_tpu.core.tuned import TUNED_TILE_GEOMETRY
 

@@ -78,15 +78,23 @@ if rs:
               + (f", mx-nosplit {ns['ms']} ms" if ns else "")
               + f"; parity {par and par.get('chains_equal')}")
     if ef and em:
-        print(f"  engine-step: flat {ef.get('ms')} ms, mx {em.get('ms')} ms")
+        print(f"  engine-step: flat {ef.get('ms_per_step')} ms,"
+              f" mx {em.get('ms_per_step')} ms")
+    # the nosplit variant is only adoptable if BOTH its one-hot
+    # exactness probe and its own chain parity passed
+    ns_ok = (ns is not None and bool(ns.get("chains_equal"))
+             and bool(ex and ex.get("exact")))
     if ex is not None:
         print(f"  raw-f32 one-hot exact: {ex.get('exact')}"
-              f" (precision={ex.get('precision')})")
-        decide("", bool(ex.get("exact")),
+              f" (precision={ex.get('precision')});"
+              f" nosplit parity {ns and ns.get('chains_equal')}")
+        decide("", ns_ok,
                "config.py: gs_mx_split default True -> False"
                " (halves the relayout matmuls)",
                "keep gs_mx_split=True")
-    best_mx = min([r["ms"] for r in (m, ns) if r] or [float("inf")])
+    candidates = [r["ms"] for r in ((m,) + ((ns,) if ns_ok else ()))
+                  if r]
+    best_mx = min(candidates or [float("inf")])
     if f and best_mx < float("inf"):
         decide("", best_mx < f["ms"]
                and bool(par and par.get("chains_equal")),

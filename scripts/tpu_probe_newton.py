@@ -49,8 +49,13 @@ try:
         cfg = SimConfig(max_particles=65_536, initial_particles=65_536,
                         pipeline="tiled", tile_cap=6, tile_multiplier=3.3,
                         tiled_uniform_radius=True, tiled_newton=newton)
-        eng = TiledEngine(cfg, seed=0, chunk=16)
-        eng.run(32)
+        eng = TiledEngine(cfg, seed=0, chunk=8)
+        # short window on purpose: the two sweeps differ in f32
+        # accumulation ORDER, and contact dynamics amplify the ulp seeds
+        # chaotically — 8 steps keeps a REAL kernel inside the 1e-2 gate
+        # (the CPU engine test needs 1e-3 after 3 steps at 256 bodies)
+        # while a Mosaic lowering bug still explodes or diverges pids
+        eng.run(8)
         s = eng.state
         pid = np.asarray(s.pid).ravel()
         order = np.argsort(pid)

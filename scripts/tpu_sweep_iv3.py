@@ -10,10 +10,9 @@ process at a time):
   JAX_PLATFORMS=axon PYTHONPATH=/root/repo:$PYTHONPATH:/root/.axon_site \
   nohup python scripts/tpu_sweep_iv3.py > /tmp/sweep_iv3.log 2>&1 &
 
-Digest with: python scripts/apply_iv2.py /tmp/tpu_sweep_iv3.jsonl
-(rows log newton=True; compare against the iv/iv2 standard-sweep rows
-before editing TUNED_TILE_GEOMETRY — only adopt newton picks if bench
-flips tiled_newton on too).
+Digest with: python scripts/apply_iv2.py --newton /tmp/tpu_sweep_iv3.jsonl
+(rows log newton=True; apply_iv2 excludes them unless --newton is given —
+only adopt newton picks together with flipping tiled_newton on in bench).
 """
 
 import json
