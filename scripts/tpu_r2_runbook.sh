@@ -60,7 +60,28 @@ echo "[runbook] bench done rc=$?"
 tail -1 /tmp/bench_r2.json
 echo "[runbook] ALL DONE at $(date)"
 
-echo "[runbook] === 6/6 probe_newton ==="
+echo "[runbook] === 6/7 probe_newton ==="
 python scripts/tpu_probe_newton.py > /tmp/probe_newton_rb.log 2>&1
 echo "[runbook] probe_newton done rc=$?"
-echo "[runbook] ALL DONE at $(date)"
+
+# stage 7 (conditional): iv3 geometry refinement under tiled_newton, only
+# when the probe cross-checks AND wins at both measured sizes.  Pure-JSON
+# parse — no jax import (the axon plugin registers even on CPU).
+NEWTON_GO=$(python - <<'EOF'
+import json
+rows = [json.loads(l) for l in open("/tmp/tpu_probe_newton.jsonl")]
+ok = any(r.get("stage") == "done" and r.get("xcheck_ok") for r in rows)
+ms = {(r["n"], r["newton"]): r["ms"] for r in rows if r.get("stage") == "step"}
+wins = [ms.get((n, True), 9e9) < ms.get((n, False), 0)
+        for n in (4_194_304, 1_048_576)]
+print("yes" if ok and all(wins) else "no")
+EOF
+)
+if [ "$NEWTON_GO" = "yes" ]; then
+  echo "[runbook] === 7/7 sweep_iv3 (newton won) ==="
+  python scripts/tpu_sweep_iv3.py > /tmp/sweep_iv3_rb.log 2>&1
+  echo "[runbook] sweep_iv3 done rc=$?"
+else
+  echo "[runbook] stage 7 skipped (newton_go=$NEWTON_GO)"
+fi
+echo "[runbook] RUNBOOK COMPLETE at $(date)"
