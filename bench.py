@@ -63,7 +63,7 @@ BASELINE_MS = {100_000: 1.03, 256_000: 1.28, 512_000: 1.88, 756_000: 2.53,
 # ~half of every step yet only moves storage, so running it every k-th
 # step wins 25-40% at every size.
 from gpu_physics_engine_tpu.core.tuned import (  # noqa: E402
-    TUNED_TILE_GEOMETRY as _TILE_GEOM)
+    TUNED_NEWTON as _NEWTON, TUNED_TILE_GEOMETRY as _TILE_GEOM)
 
 SETTLE = 480     # steps before timing (mover churn decays).  Multiple of
                  # the 240-step sweep cadence so the settle phase runs the
@@ -74,23 +74,26 @@ SETTLE = 480     # steps before timing (mover churn decays).  Multiple of
 WINDOW = 480     # timed steps: 2 full 240-step sweep cycles included
 
 
-def measure_tiled(n: int, uniform: bool = True):
+def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
     mult, cap, chunk, match, iv = _TILE_GEOM[n]
     cfg = SimConfig(max_particles=n, initial_particles=n,
                     pipeline="tiled", tile_cap=cap, tile_multiplier=mult,
                     tiled_match=match, tiled_relocate_interval=iv,
-                    tiled_uniform_radius=uniform)
+                    tiled_uniform_radius=uniform, tiled_newton=newton)
     try:
         eng = TiledEngine(cfg, seed=0, chunk=chunk)
         eng.run(SETTLE)
     except Exception:
+        # the uniform-radius/newton sweeps are the fast path; never let
+        # them cost the bench a size — fall back to the general kernel
+        # (newton first: it is the riskier Mosaic lowering)
+        if newton:
+            return measure_tiled(n, uniform=uniform, newton=False)
         if not uniform:
             raise
-        # the uniform-radius sweep is the fast path; never let it cost
-        # the bench a size — fall back to the general kernel
-        return measure_tiled(n, uniform=False)
+        return measure_tiled(n, uniform=False, newton=False)
     of0 = float(eng.state.overflow_count)  # fetch = device sync
     t0 = time.perf_counter()
     eng.run(WINDOW)
@@ -128,7 +131,8 @@ def measure_substeps2() -> float:
     cfg = SimConfig(max_particles=4_194_304, initial_particles=4_194_304,
                     substeps=2, pipeline="tiled", tile_cap=cap,
                     tile_multiplier=mult, tiled_match=match,
-                    tiled_relocate_interval=iv, tiled_uniform_radius=True)
+                    tiled_relocate_interval=iv, tiled_uniform_radius=True,
+                    tiled_newton=_NEWTON)
     eng = TiledEngine(cfg, seed=0, chunk=chunk)
     eng.run(128)
     float(eng.state.x[0, 0, 0])

@@ -25,6 +25,12 @@ from typing import Optional
 
 from gpu_physics_engine_tpu.core.config import SimConfig
 
+# Newton's-third-law sweep (SimConfig.tiled_newton): flipped to True
+# only once scripts/tpu_probe_newton.py confirms the Mosaic lowering
+# cross-checks AND wins on hardware (runbook stage 6); the iv3 sweep
+# then re-tunes the geometry rows under the cheaper sweep.
+TUNED_NEWTON = False
+
 # n_particles -> (tile_multiplier, tile_cap, run chunk, tiled_match,
 #                 tiled_relocate_interval)
 TUNED_TILE_GEOMETRY = {
@@ -63,6 +69,7 @@ def tuned_config(n_particles: int, max_particles: Optional[int] = None,
               # (particle_system.rs:117); the engine falls back to the
               # general sweep if spawns break the premise
               tiled_uniform_radius=True,
+              tiled_newton=TUNED_NEWTON,
               initial_particles=n_particles,
               max_particles=max_particles or n_particles)
     kw.update(overrides)
