@@ -95,14 +95,21 @@ def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
             raise
         return measure_tiled(n, uniform=False, newton=False)
     of0 = float(eng.state.overflow_count)  # fetch = device sync
-    t0 = time.perf_counter()
-    eng.run(WINDOW)
-    float(eng.state.x[0, 0, 0])
-    ms = (time.perf_counter() - t0) / WINDOW * 1e3
+    # two independent fetch-synced windows, min taken: each window spans
+    # two full 240-step maintenance cycles (honest steady-state), but a
+    # single window is exposed to one-off multi-second runtime/relay
+    # stalls (observed ~7 s spikes in the round-2 sweeps)
+    ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.run(WINDOW)
+        float(eng.state.x[0, 0, 0])
+        ms = min(ms, (time.perf_counter() - t0) / WINDOW * 1e3)
     # deferral events are only counted at relocate steps: x interval =
-    # the deferred-population fraction (PERF.md "Relocate interval")
+    # the deferred-population fraction (PERF.md "Relocate interval");
+    # events accumulated over both timed windows
     defer_pct = ((float(eng.state.overflow_count) - of0)
-                 / WINDOW / n * 100.0) * iv
+                 / (2 * WINDOW) / n * 100.0) * iv
     return ms, defer_pct, eng
 
 

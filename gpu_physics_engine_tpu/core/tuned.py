@@ -34,14 +34,14 @@ TUNED_NEWTON = False
 # n_particles -> (tile_multiplier, tile_cap, run chunk, tiled_match,
 #                 tiled_relocate_interval)
 TUNED_TILE_GEOMETRY = {
-    100_000: (22.0, 8, 128, "greedy", 4),
-    256_000: (12.1, 8, 128, "greedy", 2),
-    512_000: (6.6, 6, 128, "greedy", 4),
-    756_000: (4.4, 4, 32, "greedy", 4),
-    1_048_576: (4.4, 5, 32, "greedy", 4),
-    2_000_000: (4.4, 6, 16, "greedy", 4),
-    3_000_000: (3.3, 6, 16, "flip", 2),
-    4_194_304: (3.3, 6, 16, "greedy", 2),
+    100_000: (22.0, 8, 128, "greedy", 4),   # 0.405 ms 2.54x @0.89% (iv)
+    256_000: (12.1, 8, 128, "greedy", 2),   # 0.925 ms 1.38x (iv)
+    512_000: (6.6, 7, 128, "greedy", 4),    # 1.423 ms 1.32x @1.06% (iv2)
+    756_000: (4.4, 5, 32, "greedy", 2),     # 1.968 ms 1.28x @0.46% (iv2)
+    1_048_576: (4.4, 6, 32, "greedy", 4),   # 2.182 ms 1.68x @0.49% (iv2)
+    2_000_000: (4.4, 6, 16, "greedy", 4),   # 2.609 ms 3.23x @0.86% (iv)
+    3_000_000: (3.3, 6, 16, "greedy", 4),   # 4.092 ms 3.82x @0.20% (iv2)
+    4_194_304: (3.3, 6, 16, "greedy", 2),   # 5.675 ms 4.00x (iv)
 }
 
 
