@@ -108,6 +108,15 @@ class SimConfig:
     # tile occupancy (resolved at TiledEngine construction)
     tile_cap: int = 24
     mover_capacity: int = 1 << 15  # per-step tile-crossing buffer
+    # mover buffer for the PERIODIC exact sweep (the claim relocate run
+    # every sort_interval_steps as the pull relocate's multi-hop safety
+    # net).  0 = auto: max(mover_capacity, max_particles // 8).  The
+    # sweep must be able to drain the displaced-storage population in
+    # one pass: with only the per-step 32k buffer, dense scenes (4M)
+    # accumulate a storage traffic jam the sweep can never clear —
+    # measured deferred population growing 1% -> 67% over 5760 steps
+    # (scripts/tpu_probe_4m_horizon.py) while the physics stayed calm.
+    sweep_mover_capacity: int = 0
     # collide backend: "pallas" (ops/tiled_pallas.py band kernel), "jnp",
     # or "auto" (pallas on TPU, jnp elsewhere — interpret mode is test-only)
     tiled_collide: str = "auto"
@@ -161,10 +170,16 @@ class SimConfig:
     # on a 4x smaller grid with no masking; XLA strided relayouts),
     # "mx" = the decomposed kernels with the relayouts done as blocked
     # one-hot MATMULS (MXU-speed, bit-exact via u16 half splits —
-    # ops/gs_pallas.py).  All bit-match the scalar model
-    # (tests/test_gs_tiled.py).  "auto" = flat: "dec"'s kernels are ~4x
-    # cheaper but its XLA stride-2 relayouts cost ~130 ms @1M (PERF.md);
-    # "mx" removes that tax — flipped to auto once hardware-verified.
+    # ops/gs_pallas.py), "par" = the decomposed kernels with the WHOLE
+    # step kept in parity space (ops/gs_parity.py: rank + relocate +
+    # integrate all run on the sub-grids; full-space state crosses the
+    # mx relayout only at scan-chunk boundaries).  All bit-match the
+    # scalar model (tests/test_gs_tiled.py, tests/test_gs_parity.py).
+    # "auto" = flat: "dec" kernels are ~4x cheaper but the per-step
+    # relayout tax erases the win (measured: XLA strided ~130 ms @1M,
+    # mx matmuls 10.2 ms for x/y/pid alone — flat 23.7 vs mx 28.4 ms,
+    # PERF.md); "par" is the fix — flipped here once hardware-verified
+    # (scripts/tpu_probe_gspar.py).
     gs_layout: str = "auto"
     # gs_layout="mx" relayout precision: True (safe default) splits every
     # 32-bit plane into exact u16-half f32 planes before the one-hot
@@ -181,8 +196,9 @@ class SimConfig:
     #               compare-exchanges; ~33% fewer rank ops), then recover
     #               source codes/radii by one pid-match pass.
     #               Bit-identical outputs to "minloop" (unique pids).
-    #   "auto"    — minloop until "net" is hardware-verified
-    #               (scripts/tpu_probe_gsrank.py), then flipped here.
+    #   "auto"    — "net": hardware-verified faster (v5e @1M: rank-only
+    #               6.89 vs 7.79 ms, end-to-end 23.83 vs 25.01;
+    #               scripts/tpu_probe_gsrank.py).
     gs_rank: str = "auto"
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
@@ -269,7 +285,7 @@ class SimConfig:
         assert not (self.tiled_solver == "gs"
                     and self.tiled_relocate_interval > 1), (
             "the GS parity solver requires storage == home every step")
-        assert self.gs_layout in ("auto", "dec", "flat", "mx")
+        assert self.gs_layout in ("auto", "dec", "flat", "mx", "par")
         assert self.gs_rank in ("auto", "minloop", "net")
         assert 1 <= self.render_supersample <= 4
         assert self.world_shape in ("box", "circle")

@@ -97,8 +97,20 @@ class TiledEngine:
         # wrong neighborhood until relocated exactly, so a disabled
         # sort_interval_steps still gets a default cadence (240 steps = the
         # reference's 4 s at 60 fps, particle_system.rs:13-14).
+        # the sweep needs a buffer sized to the displaced-storage
+        # POPULATION (not the per-step crossing rate): under-provisioned,
+        # dense scenes jam — deferred movers' slots block other movers,
+        # the jam outgrows the buffer, and the prefix-biased compaction
+        # never reaches high-index tiles (measured: deferred population
+        # 1% -> 67% over 5760 steps at 4M, scripts/tpu_probe_4m_horizon.py).
+        # The rotating tile_offset removes the prefix bias across sweeps.
+        sweep_cap = config.sweep_mover_capacity or max(
+            config.mover_capacity, config.max_particles // 8)
         self._sweep = jax.jit(
-            lambda s: tiled.relocate(s, config), donate_argnums=0)
+            lambda s, off: tiled.relocate(s, config, m_cap=sweep_cap,
+                                          tile_offset=off),
+            donate_argnums=0)
+        self._sweep_count = 0
         pallas_reloc = config.tiled_relocate == "pallas" or (
             config.tiled_relocate == "auto"
             and jax.default_backend() == "tpu")
@@ -125,6 +137,15 @@ class TiledEngine:
         # window boundaries (documented; windows are CHUNK-multiples of
         # iv in production).
         iv = max(1, config.tiled_relocate_interval)
+        # parity-persistent GS (gs_layout="par"): the chunk converts
+        # full-space <-> parity ONCE around the whole scanned window
+        # (ops/gs_parity.py — the per-step relayout tax is what sank the
+        # dec/mx layouts, PERF.md), instead of per step via step_fn
+        gs_par = (config.tiled_solver == "gs"
+                  and config.gs_layout == "par"
+                  and (config.tiled_collide == "pallas"
+                       or (config.tiled_collide == "auto"
+                           and jax.default_backend() == "tpu")))
 
         def _group(s, p, m):
             s = tiled.tiled_step_fn(s, p, config)
@@ -134,6 +155,14 @@ class TiledEngine:
 
         def _chunk_of(k: int):
             if k not in self._chunks:
+                if gs_par:
+                    from gpu_physics_engine_tpu.ops.gs_parity import (
+                        gs_parity_tile_step)
+                    self._chunks[k] = jax.jit(
+                        partial(gs_parity_tile_step, config=config,
+                                n_steps=k), donate_argnums=0)
+                    return self._chunks[k]
+
                 def _chunk(state, p):
                     full, rem = divmod(k, iv)
                     if full:
@@ -279,6 +308,13 @@ class TiledEngine:
             self.config.dt if dt is None else dt,
             mouse=self.mouse_pos, pressed=self.mouse_pressed)
 
+    def _sweep_off(self):
+        """Rotating tile-scan start for the exact sweep (traced arg, so
+        no recompile per sweep): a golden-ratio stride decorrelates the
+        prefix the compaction favors when the buffer overflows."""
+        self._sweep_count += 1
+        return np.int32((self._sweep_count * 2654435761) & 0x7FFFFFFF)
+
     def _reloc_off(self) -> bool:
         """True when this step may skip the relocate (the counter of
         steps since the last relocating step hasn't spent the
@@ -289,7 +325,7 @@ class TiledEngine:
     def step(self, params: Optional[StepParams] = None):
         interval = self._sweep_interval
         if interval and self._steps_done and self._steps_done % interval == 0:
-            self.state = self._sweep(self.state)
+            self.state = self._sweep(self.state, self._sweep_off())
             self._since_reloc = 0  # the exact sweep restores storage==home
         off_phase = self._reloc_off()
         if self.big is not None:
@@ -316,7 +352,7 @@ class TiledEngine:
         while done < n_steps:
             if (interval and self._steps_done
                     and self._steps_done % interval == 0):
-                self.state = self._sweep(self.state)
+                self.state = self._sweep(self.state, self._sweep_off())
                 self._since_reloc = 0
             # largest whole chunk that stays inside the sweep cadence and
             # the sync_every request

@@ -25,23 +25,26 @@ from typing import Optional
 
 from gpu_physics_engine_tpu.core.config import SimConfig
 
-# Newton's-third-law sweep (SimConfig.tiled_newton): flipped to True
-# only once scripts/tpu_probe_newton.py confirms the Mosaic lowering
-# cross-checks AND wins on hardware (runbook stage 6); the iv3 sweep
-# then re-tunes the geometry rows under the cheaper sweep.
-TUNED_NEWTON = False
+# Newton's-third-law sweep (SimConfig.tiled_newton): hardware-verified
+# (scripts/tpu_probe_newton.py, v5e): bit-identical to the standard
+# sweep at 64k/8 steps (dx=dy=0.0) and wins 24-31% — 4M 5.04 -> 3.84
+# ms/step, 1M 2.19 -> 1.67.  Geometry rows re-tuned under the cheaper
+# sweep by scripts/tpu_sweep_iv3.py.
+TUNED_NEWTON = True
 
 # n_particles -> (tile_multiplier, tile_cap, run chunk, tiled_match,
 #                 tiled_relocate_interval)
+# rows re-swept under tiled_newton + tiled_uniform_radius
+# (scripts/tpu_sweep_iv3.py; ms / vs-baseline / deferred population)
 TUNED_TILE_GEOMETRY = {
-    100_000: (22.0, 8, 128, "greedy", 4),   # 0.405 ms 2.54x @0.89% (iv)
-    256_000: (12.1, 8, 128, "greedy", 2),   # 0.925 ms 1.38x (iv)
-    512_000: (6.6, 7, 128, "greedy", 4),    # 1.423 ms 1.32x @1.06% (iv2)
-    756_000: (4.4, 5, 32, "greedy", 2),     # 1.968 ms 1.28x @0.46% (iv2)
-    1_048_576: (4.4, 6, 32, "greedy", 4),   # 2.182 ms 1.68x @0.49% (iv2)
-    2_000_000: (4.4, 6, 16, "greedy", 4),   # 2.609 ms 3.23x @0.86% (iv)
-    3_000_000: (3.3, 6, 16, "greedy", 4),   # 4.092 ms 3.82x @0.20% (iv2)
-    4_194_304: (3.3, 6, 16, "greedy", 2),   # 5.675 ms 4.00x (iv)
+    100_000: (22.0, 8, 128, "greedy", 2),   # 0.320 ms 3.22x @0.82% (iv3)
+    256_000: (12.1, 9, 128, "greedy", 2),   # 0.847 ms 1.51x @0.70% (iv3)
+    512_000: (6.6, 7, 128, "greedy", 4),    # 1.072 ms 1.75x @1.06% (iv3)
+    756_000: (4.4, 5, 32, "greedy", 4),     # 1.172 ms 2.16x @0.69% (iv4)
+    1_048_576: (4.4, 6, 32, "greedy", 4),   # 1.554 ms 2.36x @0.49% (iv3)
+    2_000_000: (4.4, 6, 16, "greedy", 4),   # 1.561 ms 5.39x @0.86% (iv3)
+    3_000_000: (3.3, 6, 16, "greedy", 4),   # 2.863 ms 5.46x @0.19% (iv3)
+    4_194_304: (3.3, 7, 16, "greedy", 2),   # 5.025 ms 4.52x @0.18% (iv3)
 }
 
 

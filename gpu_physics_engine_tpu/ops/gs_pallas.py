@@ -99,24 +99,12 @@ def _sweep(lx, ly, lr, lpid, active, stiffness, one):
     return lx, ly
 
 
-def _member_streams(one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-                    cap: int, t: float):
-    """Shared rank preamble: per cell, the 9*cap candidate streams with
-    the reference circle-vs-AABB membership (grid.wgsl:117-129) applied.
-    Returns (streams, count): streams = [(pid_masked, rad, code)] where
-    pid_masked is the candidate's pid or _BIGPID for non-members, count =
-    the per-cell member total (overflow accounting).  Used by both rank
-    kernel implementations so their membership math is op-identical."""
-    x_rows = _rows3(xu[...], xm[...], xd[...])
-    y_rows = _rows3(yu[...], ym[...], yd[...])
-    r_rows = _rows3(ru[...], rm[...], rd[...])
-    p_rows = _rows3(pu[...], pm[...], pd[...])
-
-    band = xm.shape[1]
-    i = pl.program_id(0)
-    shape1 = (1, band, xm.shape[2])
-    ty = (i * band + jax.lax.broadcasted_iota(jnp.int32, shape1, 1))
-    tx = jax.lax.broadcasted_iota(jnp.int32, shape1, 2)
+def _member_streams_from_views(one, views, ty, tx, cap: int, t: float):
+    """Candidate streams from pre-built neighbor views: ``views`` =
+    [(x_e, y_e, r_e, p_e)] in _OFFS order, ``ty``/``tx`` = FULL-space
+    tile coords of each lane's cell (the parity drivers reconstruct
+    them from sub-grid indices).  Op-identical to the flat path."""
+    shape1 = ty.shape
     tf = jnp.float32(t)
     lox = (tx - 1).astype(jnp.float32) * tf  # my cell's AABB (world coords)
     loy = (ty - 1).astype(jnp.float32) * tf
@@ -127,11 +115,7 @@ def _member_streams(one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
     # stored one tile off its home, so its center is NOT confined to the
     # storage tile's AABB and no per-offset specialization is valid.
     streams = []  # (pid_masked, rad, code)
-    for j, (dy, dx) in enumerate(_OFFS):
-        x_e = _view(x_rows, dy, dx)
-        y_e = _view(y_rows, dy, dx)
-        r_e = _view(r_rows, dy, dx)
-        p_e = _view(p_rows, dy, dx)
+    for j, (x_e, y_e, r_e, p_e) in enumerate(views):
         for s in range(cap):
             cx = x_e[s:s + 1]
             cy = y_e[s:s + 1]
@@ -150,12 +134,33 @@ def _member_streams(one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
     return streams, count
 
 
-def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-                 src_ref, rpid_ref, rrad_ref, count_ref,
-                 *, cap: int, K: int, t: float):
-    one = one_ref[0]
-    streams, count = _member_streams(
-        one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, cap, t)
+def _member_streams(one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+                    cap: int, t: float):
+    """Shared rank preamble: per cell, the 9*cap candidate streams with
+    the reference circle-vs-AABB membership (grid.wgsl:117-129) applied.
+    Returns (streams, count): streams = [(pid_masked, rad, code)] where
+    pid_masked is the candidate's pid or _BIGPID for non-members, count =
+    the per-cell member total (overflow accounting).  Used by both rank
+    kernel implementations so their membership math is op-identical."""
+    x_rows = _rows3(xu[...], xm[...], xd[...])
+    y_rows = _rows3(yu[...], ym[...], yd[...])
+    r_rows = _rows3(ru[...], rm[...], rd[...])
+    p_rows = _rows3(pu[...], pm[...], pd[...])
+
+    band = xm.shape[1]
+    i = pl.program_id(0)
+    shape1 = (1, band, xm.shape[2])
+    ty = (i * band + jax.lax.broadcasted_iota(jnp.int32, shape1, 1))
+    tx = jax.lax.broadcasted_iota(jnp.int32, shape1, 2)
+    views = [(_view(x_rows, dy, dx), _view(y_rows, dy, dx),
+              _view(r_rows, dy, dx), _view(p_rows, dy, dx))
+             for (dy, dx) in _OFFS]
+    return _member_streams_from_views(one, views, ty, tx, cap, t)
+
+
+def _rank_minloop_select(streams, count, K: int):
+    """K rounds of min-pid selection over the candidate streams; returns
+    (src_out, pid_out, rad_out) lists of K shape1 arrays."""
     shape1 = count.shape
 
     taken = [jnp.zeros(shape1, bool) for _ in streams]
@@ -176,6 +181,16 @@ def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
         src_out.append(src_q)
         pid_out.append(jnp.where(valid, minpid, _BIGPID))
         rad_out.append(rad_q)
+    return src_out, pid_out, rad_out
+
+
+def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+                 src_ref, rpid_ref, rrad_ref, count_ref,
+                 *, cap: int, K: int, t: float):
+    one = one_ref[0]
+    streams, count = _member_streams(
+        one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, cap, t)
+    src_out, pid_out, rad_out = _rank_minloop_select(streams, count, K)
 
     src_ref[...] = jnp.concatenate(src_out, axis=0)
     rpid_ref[...] = jnp.concatenate(pid_out, axis=0)
@@ -270,12 +285,9 @@ def _topm_merge(a, b):
     return vals
 
 
-def _rank_kernel_net(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
-                     src_ref, rpid_ref, rrad_ref, count_ref,
-                     *, cap: int, K: int, t: float):
-    one = one_ref[0]
-    streams, count = _member_streams(
-        one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, cap, t)
+def _rank_net_select(streams, count, K: int):
+    """Selection-network pick of the K smallest member pids; returns
+    (src_out, pid_out, rad_out) lists of K shape1 arrays."""
     shape1 = count.shape
 
     m = 1 << max(2, (max(K, 1) - 1).bit_length())  # group size >= max(K, 4)
@@ -305,6 +317,16 @@ def _rank_kernel_net(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
         src_out.append(src_q)
         pid_out.append(pid_q)
         rad_out.append(rad_q)
+    return src_out, pid_out, rad_out
+
+
+def _rank_kernel_net(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
+                     src_ref, rpid_ref, rrad_ref, count_ref,
+                     *, cap: int, K: int, t: float):
+    one = one_ref[0]
+    streams, count = _member_streams(
+        one, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd, cap, t)
+    src_out, pid_out, rad_out = _rank_net_select(streams, count, K)
 
     src_ref[...] = jnp.concatenate(src_out, axis=0)
     rpid_ref[...] = jnp.concatenate(pid_out, axis=0)
@@ -317,8 +339,10 @@ def _rank_partial(config: SimConfig, cap: int, K: int, t: float):
     implementations share signature, specs and bit-identical outputs)."""
     impl = config.gs_rank
     if impl == "auto":
-        # minloop until "net" is hardware-verified (tpu_probe_gsrank.py)
-        impl = "minloop"
+        # hardware-verified (tpu_probe_gsrank.py, v5e @1M): rank-only
+        # 6.89 ms (net) vs 7.79 (minloop), end-to-end flat 23.83 vs
+        # 25.01; chains/overflow bit-equal on hardware
+        impl = "net"
     if impl == "net":
         return partial(_rank_kernel_net, cap=cap, K=K, t=t)
     return partial(_rank_kernel, cap=cap, K=K, t=t)
@@ -465,12 +489,15 @@ def gs_solve_pallas(state: TileState, config: SimConfig) -> TileState:
     _, TY, TX = state.dims
     if layout == "dec" and (TY - 2 < 2 or TX - 2 < 2):
         layout = "flat"  # not decomposable (tiny grid)
-    if layout == "mx" and (TY < 2 or TX < 2):
+    if layout in ("mx", "par") and (TY < 2 or TX < 2):
         layout = "flat"
     if layout == "dec":
         return gs_solve_pallas_dec(state, config)
     if layout == "mx":
         return gs_solve_pallas_mx(state, config)
+    if layout == "par":
+        from gpu_physics_engine_tpu.ops.gs_parity import gs_solve_parity_full
+        return gs_solve_parity_full(state, config)
     return gs_solve_pallas_flat(state, config)
 
 

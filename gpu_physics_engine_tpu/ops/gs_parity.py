@@ -1,0 +1,500 @@
+"""Persistent parity-space Gauss-Seidel pipeline (gs_layout="par").
+
+The "dec"/"mx" GS layouts (ops/gs_pallas.py) cut the solve 4x by running
+each color pass on its own 2x2-decimated sub-grid, but pay a per-step
+relayout between the full-space state and the sub-grids — measured
+10.2 ms @1M for the x/y/pid round trip alone (mx matmuls; XLA strided
+slices are ~13x worse), which erases the kernel win (PERF.md).  This
+module removes the relayout from the step entirely by keeping the WHOLE
+GS step in parity space:
+
+  - state lives as four parity sub-grids per field (x, y, px, py, r,
+    pid), using the mx convention sub[(pa, pb)][si, sj] =
+    full[2*si + pa, 2*sj + pb] (the full grid's own border/pad tiles
+    land on sub-grid edges and play the fill role — no explicit ring);
+  - rank runs per parity with cross-parity neighbor views, producing
+    the occupancy tables born-decomposed (kernel cores shared with the
+    flat layout: ops/gs_pallas._member_streams_from_views + the
+    minloop/net selectors — bit-identical selection);
+  - the color solve/apply are the existing dec kernels
+    (ops/gs_pallas._solve_dec_kernel/_apply_dec_kernel), driven exactly
+    like gs_solve_pallas_mx's color loop but with no relayout around;
+  - the pull relocate runs per parity with cross-parity views (matching
+    cores shared with the flat kernels: ops/tiled_pallas._plan_choose +
+    _apply_merge — identical claim priority, so storage evolution is
+    bit-identical to the flat relocate);
+  - integrate is elementwise (ops/tiled.integrate on per-parity shims).
+
+Full-space state crosses into parity space only at scan-chunk
+boundaries (TiledEngine converts around each scanned run() window via
+the bit-faithful mx one-hot-matmul relayout) — amortized over the
+chunk depth, ~0.6 ms/step at chunk 32 vs ~10-16 ms/step for the
+per-step relayout the mx layout pays.
+
+Reference semantics parity: identical to gs_layout="flat"
+(collision_solver.wgsl:26-118 ordered in-cell sweeps) — the oracle
+tests assert bit-equality of trajectories on CPU.  Single-chip only
+(tiled_solver="gs" already is, parallel/tiled_shard.py:109).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpu_physics_engine_tpu.core.config import SimConfig
+from gpu_physics_engine_tpu.ops.gs_pallas import (
+    _OFFS, _PARS, _apply_dec_kernel, _dec_off, _interpret,
+    _member_streams_from_views, _mx_blocks, _mx_decompose, _mx_geometry,
+    _mx_onehot, _mx_recompose, _mx_parity, _rank_minloop_select,
+    _rank_net_select, _rows3, _sds, _solve_dec_kernel, _lane, BAND,
+    _BIGPID)
+from gpu_physics_engine_tpu.ops.tiled import (TileState, integrate,
+                                              tile_geometry)
+from gpu_physics_engine_tpu.ops.tiled_pallas import (_NEIGHBORS,
+                                                     _apply_merge,
+                                                     _plan_choose,
+                                                     _step_offsets)
+
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
+_F = ("x", "y", "px", "py", "r", "pid")
+_FILL = {"x": 0.0, "y": 0.0, "px": 0.0, "py": 0.0, "r": 0.0, "pid": -1}
+
+
+# ---------------------------------------------------------------------------
+# full-space <-> parity-space conversion (chunk boundaries only)
+# ---------------------------------------------------------------------------
+
+def to_parity(state: TileState, config: SimConfig):
+    """TileState -> (subs, num_active, overflow_count) carry.  subs =
+    {field: {parity: [cap, DYp, DX]}} in the mx convention."""
+    _, TY, TX = state.dims
+    by, bx = _mx_blocks(TY, TX)
+    Ey, Ex = _mx_onehot(by), _mx_onehot(bx)
+    sp = config.gs_mx_split
+    arrs = dict(x=state.x, y=state.y, px=state.px, py=state.py,
+                r=state.radius, pid=state.pid)
+    subs = {n: _mx_decompose(arrs[n], TY, TX, _FILL[n], Ey, Ex, split=sp)
+            for n in _F}
+    return subs, state.num_active, state.overflow_count
+
+
+def from_parity(carry, template: TileState, config: SimConfig) -> TileState:
+    """Inverse of to_parity; ``template`` supplies shapes/geometry."""
+    subs, num_active, overflow = carry
+    _, TY, TX = template.dims
+    by, bx = _mx_blocks(TY, TX)
+    Ey, Ex = _mx_onehot(by), _mx_onehot(bx)
+    sp = config.gs_mx_split
+    out = {n: _mx_recompose(subs[n], TY, TX, template.pid.dtype
+                            if n == "pid" else jnp.float32, Ey, Ex,
+                            split=sp)
+           for n in _F}
+    return dataclasses.replace(
+        template, x=out["x"], y=out["y"], px=out["px"], py=out["py"],
+        radius=out["r"], pid=out["pid"], num_active=num_active,
+        overflow_count=overflow)
+
+
+def _coords(ref, pa: int, pb: int):
+    """Full-space (ty, tx) of each lane's cell for a parity-(pa, pb)
+    band block (mx convention: full = 2*sub + parity)."""
+    band = ref.shape[1]
+    shape1 = (1, band, ref.shape[2])
+    si = (pl.program_id(0) * band
+          + jax.lax.broadcasted_iota(jnp.int32, shape1, 1))
+    sj = jax.lax.broadcasted_iota(jnp.int32, shape1, 2)
+    return 2 * si + pa, 2 * sj + pb
+
+
+def _par_views(rows_by_par, pa: int, pb: int, offs):
+    """Cross-parity neighbor views for a parity-(pa, pb) cell: for each
+    full-space offset in ``offs``, the matching (band row, lane roll)
+    view over the other parities' band blocks (gs_pallas._dec_views
+    generalized to any offset list)."""
+    views = []
+    for (dy, dx) in offs:
+        qa, qb = (pa + dy) & 1, (pb + dx) & 1
+        oy = _dec_off(pa, dy, qa)
+        ox = _dec_off(pb, dx, qb)
+        views.append(_lane(rows_by_par[(qa, qb)][oy + 1], ox))
+    return views
+
+
+# ---------------------------------------------------------------------------
+# rank, per parity (tables born decomposed)
+# ---------------------------------------------------------------------------
+
+def _rank_kernel_par(one_ref, *refs, cap: int, K: int, t: float,
+                     impl: str, pa: int, pb: int, gTY: int, gTX: int):
+    # refs: x, y, r, pid; each 4 parities x (up, mid, dn); then outs
+    one = one_ref[0]
+    rows = []
+    for f in range(4):
+        base = 12 * f
+        rows.append({p: _rows3(*(r[...] for r in
+                                 refs[base + 3 * i:base + 3 * i + 3]))
+                     for i, p in enumerate(_PARS)})
+    xr, yr, rr, pr = rows
+    src_ref, rpid_ref, rrad_ref, count_ref = refs[48:]
+
+    ty, tx = _coords(refs[1], pa, pb)  # any mid block for shape
+    views = list(zip(_par_views(xr, pa, pb, _OFFS),
+                     _par_views(yr, pa, pb, _OFFS),
+                     _par_views(rr, pa, pb, _OFFS),
+                     _par_views(pr, pa, pb, _OFFS)))
+    streams, count = _member_streams_from_views(one, views, ty, tx, cap, t)
+    select = _rank_net_select if impl == "net" else _rank_minloop_select
+    src_out, pid_out, rad_out = select(streams, count, K)
+
+    # border/pad cells may see band-clamp garbage views — their tables
+    # must stay fill so the apply's pid match never takes them (the flat
+    # rank gets this for free: its border AABBs lie outside the world)
+    interior = ((ty >= 1) & (ty <= gTY - 2) & (tx >= 1) & (tx <= gTX - 2))
+    src_out = [jnp.where(interior, s, -1) for s in src_out]
+    pid_out = [jnp.where(interior, q, _BIGPID) for q in pid_out]
+    rad_out = [jnp.where(interior, rq, 0.0) for rq in rad_out]
+    count = jnp.where(interior, count, 0)
+
+    src_ref[...] = jnp.concatenate(src_out, axis=0)
+    rpid_ref[...] = jnp.concatenate(pid_out, axis=0)
+    rrad_ref[...] = jnp.concatenate(rad_out, axis=0)
+    count_ref[...] = count[0]
+
+
+def _specs(cap: int, DYp: int, DX: int):
+    nb = DYp // BAND
+
+    def mid(i):
+        return (0, i, 0)
+
+    def up(i):
+        return (0, jnp.maximum(i - 1, 0), 0)
+
+    def dn(i):
+        return (0, jnp.minimum(i + 1, nb - 1), 0)
+
+    def spec3(c):
+        return [pl.BlockSpec((c, BAND, DX), m, memory_space=pltpu.VMEM)
+                for m in (up, mid, dn)]
+
+    def spec1(c):
+        return pl.BlockSpec((c, BAND, DX), mid, memory_space=pltpu.VMEM)
+
+    return nb, spec3, spec1
+
+
+def rank_parity(subs, one, config: SimConfig, cap: int, K: int, t: float,
+                gTY: int, gTX: int):
+    """Per-parity occupancy tables: {parity: (src, rpid, rrad)} plus the
+    summed overflow (count > K) — same accounting as _rank_full."""
+    impl = config.gs_rank
+    if impl == "auto":
+        impl = "net"  # hardware-verified (scripts/tpu_probe_gsrank.py)
+    DYp, DX = subs["x"][(0, 0)].shape[1:]
+    nb, spec3, spec1 = _specs(cap, DYp, DX)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    tables = {}
+    overflow = jnp.int32(0)
+    for (pa, pb) in _PARS:
+        src, rpid, rrad, count = pl.pallas_call(
+            partial(_rank_kernel_par, cap=cap, K=K, t=t, impl=impl,
+                    pa=pa, pb=pb, gTY=gTY, gTX=gTX),
+            grid=(nb,),
+            in_specs=[smem] + [s for _ in range(4) for p in _PARS
+                               for s in spec3(cap)],
+            out_specs=(spec1(K),) * 3 + (
+                pl.BlockSpec((BAND, DX), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),),
+            out_shape=(_sds((K, DYp, DX), jnp.int32),
+                       _sds((K, DYp, DX), jnp.int32),
+                       _sds((K, DYp, DX), jnp.float32),
+                       _sds((DYp, DX), jnp.int32)),
+            compiler_params=_VMEM,
+            interpret=_interpret(),
+        )(one,
+          *[subs[n][p] for n in ("x", "y", "r", "pid")
+            for p in _PARS for _ in range(3)])
+        tables[(pa, pb)] = (src, rpid, rrad)
+        overflow = overflow + jnp.sum(jnp.maximum(count - K, 0))
+    return tables, overflow
+
+
+# ---------------------------------------------------------------------------
+# color solve/apply (existing dec kernels, no relayout around)
+# ---------------------------------------------------------------------------
+
+def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
+                 t: float, gTY: int, gTX: int):
+    """One full GS solve (rank + 4 ordered color passes) in parity
+    space; returns (updated subs, overflow delta).  Color loop mirrors
+    gs_solve_pallas_mx exactly (same kernels, same order)."""
+    tables, overflow = rank_parity(subs, one, config, cap, K, t, gTY, gTX)
+    DYp, DX = subs["x"][(0, 0)].shape[1:]
+    nb, spec3, spec1 = _specs(cap, DYp, DX)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    xs = dict(subs["x"])
+    ys = dict(subs["y"])
+    ps = subs["pid"]
+    for color in (1, 2, 3, 4):
+        ac, bc = _mx_parity(color)
+        src, rpid, rrad = tables[(ac, bc)]
+        ux, uy = pl.pallas_call(
+            partial(_solve_dec_kernel, cap=cap, K=K, ac=ac, bc=bc,
+                    stiffness=config.stiffness),
+            grid=(nb,),
+            in_specs=([smem] + [s for p in _PARS for s in spec3(cap)]
+                      + [s for p in _PARS for s in spec3(cap)]
+                      + [spec1(K)] * 3),
+            out_specs=(spec1(K), spec1(K)),
+            out_shape=(_sds((K, DYp, DX), jnp.float32),
+                       _sds((K, DYp, DX), jnp.float32)),
+            compiler_params=_VMEM,
+            interpret=_interpret(),
+        )(one,
+          *[b for p in _PARS for b in (xs[p], xs[p], xs[p])],
+          *[b for p in _PARS for b in (ys[p], ys[p], ys[p])],
+          src, rpid, rrad)
+
+        new = pl.pallas_call(
+            partial(_apply_dec_kernel, cap=cap, K=K, ac=ac, bc=bc),
+            grid=(nb,),
+            in_specs=(spec3(K) + spec3(K) + spec3(K)
+                      + [spec1(cap)] * 12),
+            out_specs=tuple([spec1(cap)] * 8),
+            out_shape=tuple(_sds((cap, DYp, DX), jnp.float32)
+                            for _ in range(8)),
+            compiler_params=_VMEM,
+            interpret=_interpret(),
+        )(ux, ux, ux, uy, uy, uy, rpid, rpid, rpid,
+          *[b for p in _PARS for b in (xs[p], ys[p], ps[p])])
+        for i, p in enumerate(_PARS):
+            xs[p] = new[2 * i]
+            ys[p] = new[2 * i + 1]
+
+    out = dict(subs)
+    out["x"] = xs
+    out["y"] = ys
+    return out, overflow
+
+
+# ---------------------------------------------------------------------------
+# pull relocate, per parity (matching cores shared with the flat kernels)
+# ---------------------------------------------------------------------------
+
+def _plan_kernel_par(*refs, cap: int, t: float, gTY: int, gTX: int,
+                     match: str, delta: float, pa: int, pb: int):
+    # refs: x, y, pid; each 4 parities x (up, mid, dn); then plan out
+    rows = []
+    for f in range(3):
+        base = 12 * f
+        rows.append({p: _rows3(*(r[...] for r in
+                                 refs[base + 3 * i:base + 3 * i + 3]))
+                     for i, p in enumerate(_PARS)})
+    xr, yr, pr = rows
+    plan_ref = refs[36]
+
+    ty, tx = _coords(refs[1], pa, pb)
+    vx = _par_views(xr, pa, pb, _NEIGHBORS)
+    vy = _par_views(yr, pa, pb, _NEIGHBORS)
+    vp = _par_views(pr, pa, pb, _NEIGHBORS)
+    views = []
+    for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
+        # single-chip grid: the full-coord bound doubles as the flat
+        # kernel's slab-row/lane-wrap guard (garbage views can only feed
+        # non-interior cells, whose plan is masked below anyway)
+        valid_e = ((ty + ey >= 0) & (ty + ey <= gTY - 1)
+                   & (tx + ex >= 0) & (tx + ex <= gTX - 1))
+        views.append((vx[e_idx], vy[e_idx], vp[e_idx], valid_e, ey, ex))
+
+    pid_mid = pr[(pa, pb)][1]
+    chosen = _plan_choose(views, pid_mid, ty, tx, cap=cap, t=t,
+                          gTY=gTY, gTX=gTX, match=match, delta=delta)
+    free = pid_mid < 0
+    interior = ((ty >= 1) & (ty <= gTY - 2) & (tx >= 1) & (tx <= gTX - 2))
+    plan_ref[...] = jnp.where(free & interior,
+                              jnp.concatenate(chosen, axis=0), -1)
+
+
+def _apply_kernel_par(*refs, cap: int, t: float, gTY: int, gTX: int,
+                      match: str, delta: float, pa: int, pb: int):
+    # refs: x, y, px, py, r, pid, plan; each 4 parities x (up, mid, dn);
+    # then outs: 6 fields + defer
+    rows = {}
+    for f, n in enumerate(_F + ("plan",)):
+        base = 12 * f
+        rows[n] = {p: _rows3(*(r[...] for r in
+                               refs[base + 3 * i:base + 3 * i + 3]))
+                   for i, p in enumerate(_PARS)}
+    outs = refs[84:]
+
+    my = {n: rows[n][(pa, pb)][1] for n in _F + ("plan",)}
+    ty, tx = _coords(refs[1], pa, pb)
+
+    # per-slot one-hop step targets of my occupants (same expression as
+    # the plan side); single-chip: the in-grid gate is always true for
+    # clipped targets but kept for op-parity with the flat kernel
+    dty, dtx, moving = [], [], []
+    for k in range(cap):
+        oy_k, ox_k = _step_offsets(my["x"][k:k + 1], my["y"][k:k + 1],
+                                   ty, tx, t=t, delta=delta,
+                                   gTY=gTY, gTX=gTX)
+        dty.append(oy_k)
+        dtx.append(ox_k)
+        in_grid = ((ty + dty[k] >= 0) & (ty + dty[k] <= gTY - 1))
+        moving.append((my["pid"][k:k + 1] >= 0) & in_grid
+                      & ((dty[k] != 0) | (dtx[k] != 0)))
+
+    pviews = {n: _par_views(rows[n], pa, pb, _NEIGHBORS)
+              for n in _F + ("plan",)}
+    nbr_views = [({n: pviews[n][e] for n in _F}, pviews["plan"][e], ey, ex)
+                 for e, (ey, ex) in enumerate(_NEIGHBORS)]
+    mids = {n: my[n] for n in _F + ("plan",)}
+    out, defer = _apply_merge(mids, nbr_views, moving, dty, dtx,
+                              cap=cap, match=match)
+
+    for i, n in enumerate(_F):
+        outs[i][...] = jnp.concatenate(out[n], axis=0)
+    outs[6][...] = defer[0]
+
+
+def relocate_parity(subs, config: SimConfig, cap: int, t: float,
+                    gTY: int, gTX: int):
+    """One pull-relocate pass in parity space: 4 plan kernels, then 4
+    apply kernels (plans are all computed before any apply mutates
+    state — same two-phase structure as the flat relocate).  Returns
+    (updated subs, deferred-mover count)."""
+    match = config.tiled_match
+    if match == "auto":
+        # same auto rule as relocate_pallas, on the FULL grid dims
+        match = "greedy" if (gTY * gTX <= 800_000 and cap <= 8) else "flip2"
+    delta = config.hysteresis_delta
+    DYp, DX = subs["x"][(0, 0)].shape[1:]
+    nb, spec3, spec1 = _specs(cap, DYp, DX)
+
+    plans = {}
+    for (pa, pb) in _PARS:
+        plans[(pa, pb)] = pl.pallas_call(
+            partial(_plan_kernel_par, cap=cap, t=t, gTY=gTY, gTX=gTX,
+                    match=match, delta=delta, pa=pa, pb=pb),
+            grid=(nb,),
+            in_specs=[s for _ in range(3) for p in _PARS
+                      for s in spec3(cap)],
+            out_specs=spec1(cap),
+            out_shape=_sds((cap, DYp, DX), jnp.int32),
+            compiler_params=_VMEM,
+            interpret=_interpret(),
+        )(*[subs[n][p] for n in ("x", "y", "pid")
+            for p in _PARS for _ in range(3)])
+
+    new_subs = {n: dict(subs[n]) for n in _F}
+    defer_total = jnp.int32(0)
+    for (pa, pb) in _PARS:
+        outs = pl.pallas_call(
+            partial(_apply_kernel_par, cap=cap, t=t, gTY=gTY, gTX=gTX,
+                    match=match, delta=delta, pa=pa, pb=pb),
+            grid=(nb,),
+            in_specs=[s for _ in range(7) for p in _PARS
+                      for s in spec3(cap)],
+            out_specs=tuple([spec1(cap)] * 6) + (
+                pl.BlockSpec((BAND, DX), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),),
+            out_shape=tuple([_sds((cap, DYp, DX), jnp.float32)] * 5
+                            + [_sds((cap, DYp, DX), jnp.int32),
+                               _sds((DYp, DX), jnp.int32)]),
+            compiler_params=_VMEM,
+            interpret=_interpret(),
+        )(*[(subs[n] if n != "plan" else plans)[p]
+            for n in _F + ("plan",) for p in _PARS for _ in range(3)])
+        for i, n in enumerate(_F):
+            new_subs[n][(pa, pb)] = outs[i]
+        defer_total = defer_total + jnp.sum(outs[6])
+    return new_subs, defer_total
+
+
+# ---------------------------------------------------------------------------
+# integrate (elementwise; per-parity shims) + full step
+# ---------------------------------------------------------------------------
+
+def integrate_parity(subs, params, config: SimConfig, dt_scale: float):
+    out = {n: dict(subs[n]) for n in _F}
+    for p in _PARS:
+        shim = TileState(
+            x=subs["x"][p], y=subs["y"][p], px=subs["px"][p],
+            py=subs["py"][p], radius=subs["r"][p], pid=subs["pid"][p],
+            num_active=jnp.int32(0), overflow_count=jnp.int32(0))
+        shim = integrate(shim, params, config, dt_scale=dt_scale)
+        out["x"][p] = shim.x
+        out["y"][p] = shim.y
+        out["px"][p] = shim.px
+        out["py"][p] = shim.py
+    return out
+
+
+def gs_parity_step_fn(carry, params, config: SimConfig,
+                      do_relocate: bool = True):
+    """One GS frame in parity space: relocate -> substeps x (ordered
+    color solve -> integrate) — the same phase order as the flat GS
+    branch of ops/tiled.tiled_step_fn (which relocates every step; the
+    GS tile geometry makes the relocate ~0.3 ms @1M)."""
+    subs, num_active, overflow = carry
+    t, TY, TX = tile_geometry(config)
+    cap = subs["x"][(0, 0)].shape[0]
+    K = config.max_occupancy
+    one = jnp.where(num_active >= 0, jnp.float32(1.0),
+                    jnp.float32(2.0)).reshape((1,))
+
+    if do_relocate:
+        with jax.named_scope("relocate"):
+            subs, defer = relocate_parity(subs, config, cap, t, TY, TX)
+        overflow = overflow + defer
+    for _ in range(config.substeps):
+        with jax.named_scope("solve_collisions"):
+            subs, ovf = solve_parity(subs, one, config, cap, K, t, TY, TX)
+        overflow = overflow + ovf
+        with jax.named_scope("particle_integration"):
+            subs = integrate_parity(subs, params, config,
+                                    dt_scale=1.0 / config.substeps)
+    return subs, num_active, overflow
+
+
+def gs_solve_parity_full(state: TileState, config: SimConfig) -> TileState:
+    """Solve-only full-space facade (gs_solve_pallas layout dispatch):
+    decompose -> rank+4-color solve in parity space -> recompose.  Pays
+    the same per-call relayout as the mx layout — use the engine's
+    chunked path (gs_parity_tile_step) for production; this exists so
+    the layout-parametrized oracle tests cover the parity kernels."""
+    t, TY, TX = tile_geometry(config)
+    cap = state.dims[0]
+    K = config.max_occupancy
+    one = jnp.where(state.num_active >= 0, jnp.float32(1.0),
+                    jnp.float32(2.0)).reshape((1,))
+    subs, _, _ = to_parity(state, config)
+    subs, overflow = solve_parity(subs, one, config, cap, K, t, TY, TX)
+    new = from_parity((subs, state.num_active, state.overflow_count),
+                      state, config)
+    return dataclasses.replace(
+        new, px=state.px, py=state.py,
+        overflow_count=state.overflow_count + overflow)
+
+
+def gs_parity_tile_step(state: TileState, params, config: SimConfig,
+                        n_steps: int = 1) -> TileState:
+    """Full-space facade: decompose -> n parity steps -> recompose, all
+    inside one traced program.  TiledEngine uses this for its single
+    steps and scanned chunks (the conversion amortizes over n_steps)."""
+    carry = to_parity(state, config)
+    if n_steps == 1:
+        carry = gs_parity_step_fn(carry, params, config)
+    else:
+        carry = jax.lax.scan(
+            lambda c, _: (gs_parity_step_fn(c, params, config), None),
+            carry, None, length=n_steps)[0]
+    return from_parity(carry, state, config)

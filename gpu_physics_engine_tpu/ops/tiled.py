@@ -425,10 +425,19 @@ def _insert_compacted(state: TileState, ty_t, tx_t, fields, live):
     return new_state, placed & live
 
 
-def relocate(state: TileState, config: SimConfig) -> TileState:
-    """Move boundary-crossing particles to their new tiles (deferred-safe)."""
+def relocate(state: TileState, config: SimConfig, m_cap: int | None = None,
+             tile_offset=None) -> TileState:
+    """Move boundary-crossing particles to their new tiles (deferred-safe).
+
+    ``m_cap`` overrides config.mover_capacity (the periodic exact sweep
+    passes its own, larger budget — see SimConfig.sweep_mover_capacity).
+    ``tile_offset`` (traced i32 scalar) rotates the mover-tile scan
+    start: the buffer-overflow compaction takes a PREFIX of flat tile
+    order, so a fixed start systematically starves high-index tiles
+    across repeated overflowing calls — the sweep rotates it."""
     t, TY, TX = tile_geometry(config)
-    m_cap = config.mover_capacity
+    if m_cap is None:
+        m_cap = config.mover_capacity
 
     occ = state.occupied()
     ty_now = jax.lax.broadcasted_iota(_I32, state.x.shape, 1)
@@ -450,8 +459,13 @@ def relocate(state: TileState, config: SimConfig) -> TileState:
     # slots.  All heavy ops shrink to the tile count or the small buffer.
     mt_cap = max(1, m_cap // cap)
     tile_mask = jnp.any(mover, axis=0).reshape(-1)          # [ntiles]
+    if tile_offset is not None:
+        off = jnp.asarray(tile_offset, _I32) % ntiles
+        tile_mask = jnp.roll(tile_mask, -off)
     (tile_idx,) = jnp.nonzero(tile_mask, size=mt_cap, fill_value=ntiles)
     tile_live = tile_idx < ntiles
+    if tile_offset is not None:
+        tile_idx = jnp.where(tile_live, (tile_idx + off) % ntiles, ntiles)
     tile_idx = jnp.where(tile_live, tile_idx, 0)
     # expand: slot-major flat indices of every slot in the flagged tiles
     mov_idx = (jnp.arange(cap, dtype=_I32)[:, None] * ntiles
@@ -552,6 +566,14 @@ def tiled_step_fn(state: TileState, params: StepParams,
     use_pallas = config.tiled_collide == "pallas" or (
         config.tiled_collide == "auto" and on_tpu)
     if config.tiled_solver == "gs":
+        if use_pallas and config.gs_layout == "par":
+            # whole step in parity space (ops/gs_parity.py); this
+            # single-step facade pays the relayout per call — the
+            # engine's scanned chunks amortize it (gs_parity_tile_step
+            # with n_steps = chunk)
+            from gpu_physics_engine_tpu.ops.gs_parity import (
+                gs_parity_tile_step)
+            return gs_parity_tile_step(state, params, config, 1)
         if use_pallas:
             from gpu_physics_engine_tpu.ops.gs_pallas import gs_solve_pallas
             gs_fn = gs_solve_pallas

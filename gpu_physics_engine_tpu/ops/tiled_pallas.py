@@ -667,17 +667,6 @@ def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
     my_ty = my_row + r0[0]                            # global
     my_tx = jax.lax.broadcasted_iota(jnp.int32, (1, band, xm.shape[2]), 2)
 
-    def claim_mask(x_e, y_e, p_e, valid_e, ey, ex, s):
-        # candidate's hysteresis one-hop step target == me?  it is stored
-        # at (my_ty+ey, my_tx+ex), so it hops to me iff its per-axis
-        # offsets equal (-ey, -ex)
-        dty_c, dtx_c = _step_offsets(
-            x_e[s:s + 1], y_e[s:s + 1], my_ty + ey, my_tx + ex,
-            t=t, delta=delta, gTY=gTY, gTX=gTX)
-        return (valid_e & (p_e[s:s + 1] >= 0)
-                & (dty_c == -ey) & (dtx_c == -ex))
-
-    chosen = [jnp.full_like(my_ty, -1) for _ in range(cap)]
     views = []
     for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
         # hoist the shifted views out of the slot loop (one roll per field)
@@ -692,6 +681,44 @@ def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
                    & (my_tx + ex >= 0) & (my_tx + ex <= gTX - 1))
         views.append((x_e, y_e, p_e, valid_e, ey, ex))
 
+    chosen = _plan_choose(views, p_rows[1], my_ty, my_tx, cap=cap, t=t,
+                          gTY=gTY, gTX=gTX, match=match, delta=delta)
+
+    pid_mid = p_rows[1]
+    free = pid_mid < 0
+    # only globally-interior REAL tiles may pull (step targets are always
+    # interior: home coords are clipped).  The my_row < local_rows gate
+    # matters on sharded slabs: a slab's pad rows alias the next slab's
+    # global coordinates, and a leftover boundary crosser (migration
+    # buffer overflow) would otherwise be pulled into a pad row by the
+    # plan while the apply side's in-slab gate refuses to vacate it —
+    # duplicating the particle.
+    interior = ((my_ty >= 1) & (my_ty <= gTY - 2)
+                & (my_tx >= 1) & (my_tx <= gTX - 2)
+                & (my_row <= local_rows - 1))
+    plan_ref[...] = jnp.where(free & interior,
+                              jnp.concatenate(chosen, axis=0), -1)
+
+
+def _plan_choose(views, pid_mid, my_ty, my_tx, *, cap: int, t: float,
+                 gTY: int, gTX: int, match: str, delta: float):
+    """Matching core of the relocate plan, over pre-built neighbor views:
+    ``views`` = [(x_e, y_e, p_e, valid_e, ey, ex)] in _NEIGHBORS order,
+    ``my_ty``/``my_tx`` = FULL-space tile coords (the parity driver in
+    ops/gs_parity.py reconstructs them from sub-grid indices).  Returns
+    the per-slot ``chosen`` code list (not yet free/interior-masked)."""
+
+    def claim_mask(x_e, y_e, p_e, valid_e, ey, ex, s):
+        # candidate's hysteresis one-hop step target == me?  it is stored
+        # at (my_ty+ey, my_tx+ex), so it hops to me iff its per-axis
+        # offsets equal (-ey, -ex)
+        dty_c, dtx_c = _step_offsets(
+            x_e[s:s + 1], y_e[s:s + 1], my_ty + ey, my_tx + ex,
+            t=t, delta=delta, gTY=gTY, gTX=gTX)
+        return (valid_e & (p_e[s:s + 1] >= 0)
+                & (dty_c == -ey) & (dtx_c == -ex))
+
+    chosen = [jnp.full_like(my_ty, -1) for _ in range(cap)]
     if match == "flip":
         for e_idx, (x_e, y_e, p_e, valid_e, ey, ex) in enumerate(views):
             for k in range(cap):
@@ -712,9 +739,8 @@ def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
                      for e in range(8)]
         claimed = [[jnp.zeros_like(claims_es[0][0]) for _ in range(cap)]
                    for _ in range(8)]
-        pid_mid_2 = p_rows[1]
         for k in range(cap):
-            free_k = pid_mid_2[k:k + 1] < 0
+            free_k = pid_mid[k:k + 1] < 0
             for rule, s in ((0, cap - 1 - k), (1, k)):
                 for e in range(8):
                     take = (free_k & claims_es[e][s] & ~claimed[e][s]
@@ -726,34 +752,19 @@ def _relocate_plan_kernel(r0, xu, xm, xd, yu, ym, yd, pu, pm, pd,
                      for e in range(8)]
         claimed = [[jnp.zeros_like(claims_es[0][0]) for _ in range(cap)]
                    for _ in range(8)]
-        pid_mid_g = p_rows[1]
         for k in range(cap):
             # only FREE slots claim — an occupied slot's chosen entry is
             # masked to -1 below, and letting it mark movers `claimed`
             # would starve the real free slots (measured: 70%/step
             # deferral at high occupancy)
-            free_k = pid_mid_g[k:k + 1] < 0
+            free_k = pid_mid[k:k + 1] < 0
             for e in range(8):
                 for s in range(cap):
                     take = (free_k & claims_es[e][s] & ~claimed[e][s]
                             & (chosen[k] < 0))
                     chosen[k] = jnp.where(take, e * cap + s, chosen[k])
                     claimed[e][s] = claimed[e][s] | take
-
-    pid_mid = p_rows[1]
-    free = pid_mid < 0
-    # only globally-interior REAL tiles may pull (step targets are always
-    # interior: home coords are clipped).  The my_row < local_rows gate
-    # matters on sharded slabs: a slab's pad rows alias the next slab's
-    # global coordinates, and a leftover boundary crosser (migration
-    # buffer overflow) would otherwise be pulled into a pad row by the
-    # plan while the apply side's in-slab gate refuses to vacate it —
-    # duplicating the particle.
-    interior = ((my_ty >= 1) & (my_ty <= gTY - 2)
-                & (my_tx >= 1) & (my_tx <= gTX - 2)
-                & (my_row <= local_rows - 1))
-    plan_ref[...] = jnp.where(free & interior,
-                              jnp.concatenate(chosen, axis=0), -1)
+    return chosen
 
 
 def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
@@ -788,7 +799,6 @@ def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
     my_ty = my_row + r0[0]                                       # global
     my_tx = jax.lax.broadcasted_iota(jnp.int32, shape1, 2)
 
-    plan_mid = rows["plan"][1]
     # per-slot one-hop target offsets of my occupants (from mid positions,
     # the same _step_offsets expression the plan kernel evaluates)
     dty, dtx, moving = [], [], []
@@ -802,11 +812,38 @@ def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
         moving.append((pm[k:k + 1] >= 0) & in_slab
                       & ((dty[k] != 0) | (dtx[k] != 0)))
 
+    mids = {n: rows[n][1] for n in FIELDS + ("plan",)}
+    nbr_views = [({n: _view(rows[n], ey, ex) for n in FIELDS},
+                  _view(rows["plan"], ey, ex), ey, ex)
+                 for (ey, ex) in _NEIGHBORS]
+    out, defer = _apply_merge(mids, nbr_views, moving, dty, dtx,
+                              cap=cap, match=match)
+
+    ox[...] = jnp.concatenate(out["x"], axis=0)
+    oy[...] = jnp.concatenate(out["y"], axis=0)
+    opx[...] = jnp.concatenate(out["px"], axis=0)
+    opy[...] = jnp.concatenate(out["py"], axis=0)
+    orad[...] = jnp.concatenate(out["r"], axis=0)
+    opid[...] = jnp.concatenate(out["pid"], axis=0)
+    odefer[...] = defer[0]
+
+
+def _apply_merge(mids, nbr_views, moving, dty, dtx, *, cap: int,
+                 match: str):
+    """Pull/vacate/recompact core of the relocate apply, over pre-built
+    neighbor views: ``mids`` = {field: mid block} incl "plan",
+    ``nbr_views`` = [(field views, plan view, ey, ex)] in _NEIGHBORS
+    order, ``moving``/``dty``/``dtx`` = per-slot mover gates and step
+    offsets (the caller computes them — flat uses slab-local row gates,
+    the parity driver in ops/gs_parity.py full-space coords).  Returns
+    (out field dict, defer counts)."""
+    FIELDS = ("x", "y", "px", "py", "r", "pid")
+    shape1 = mids["plan"][0:1].shape
+    plan_mid = mids["plan"]
+
     accepted = [jnp.zeros(shape1, bool) for _ in range(cap)]
-    new = {n: [rows[n][1][k:k + 1] for k in range(cap)] for n in FIELDS}
-    for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
-        views = {n: _view(rows[n], ey, ex) for n in FIELDS}
-        plan_e = _view(rows["plan"], ey, ex)
+    new = {n: [mids[n][k:k + 1] for k in range(cap)] for n in FIELDS}
+    for e_idx, (views, plan_e, ey, ex) in enumerate(nbr_views):
         # my index in the priority list of the target at offset (ey, ex)
         me_at_target = _NEIGHBORS.index((-ey, -ex))
         if match == "flip":
@@ -882,14 +919,7 @@ def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
             sel = occ_new[k] & (rank[k] == kd)
             for n in FIELDS:
                 out[n][kd] = jnp.where(sel, new[n][k], out[n][kd])
-
-    ox[...] = jnp.concatenate(out["x"], axis=0)
-    oy[...] = jnp.concatenate(out["y"], axis=0)
-    opx[...] = jnp.concatenate(out["px"], axis=0)
-    opy[...] = jnp.concatenate(out["py"], axis=0)
-    orad[...] = jnp.concatenate(out["r"], axis=0)
-    opid[...] = jnp.concatenate(out["pid"], axis=0)
-    odefer[...] = defer[0]
+    return out, defer
 
 
 def relocate_pallas(state: TileState, config: SimConfig,

@@ -1,0 +1,120 @@
+"""gs_layout="par" (ops/gs_parity.py): the persistent parity-space GS
+pipeline must be BIT-identical to the flat Pallas GS path — same rank
+selection, same ordered color sweeps, same pull-relocate matching, same
+integrate — with full-space state crossing the (bit-faithful) mx
+relayout only at the step/chunk boundary.
+
+Configs are deliberately tiny (cap <= 3, K <= 4, ~60 particles): the
+parity step compiles ~20 interpret-mode Pallas kernels on the 1-core
+CI box (CLAUDE.md compile discipline).
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from gpu_physics_engine_tpu import SimConfig  # noqa: E402
+from gpu_physics_engine_tpu.core.state import StepParams  # noqa: E402
+from gpu_physics_engine_tpu.ops import tiled  # noqa: E402
+
+
+def _dense_cfg(**kw):
+    base = dict(max_particles=64, initial_particles=64,
+                world_width=16.0, world_height=8.0, initial_radius=0.5,
+                pipeline="tiled", tiled_solver="gs", tile_multiplier=2.2,
+                tile_cap=3, max_occupancy=4,
+                tiled_collide="pallas", tiled_relocate="pallas",
+                tiled_match="flip")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def _init(cfg, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(0.6, cfg.world_width - 0.6, n),
+                    rng.uniform(0.6, cfg.world_height - 0.6, n)],
+                   -1).astype(np.float32)
+    rad = np.full(n, cfg.initial_radius, np.float32)
+    return tiled.init_tiles(cfg, pos, rad)
+
+
+def _assert_state_equal(a, b):
+    for f in ("pid", "x", "y", "px", "py", "radius"):
+        av, bv = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        assert (av == bv).all(), f"{f} differs (max |d|="\
+            f"{np.abs(av.astype(np.float64) - bv.astype(np.float64)).max()})"
+    assert int(a.overflow_count) == int(b.overflow_count)
+
+
+def test_to_from_parity_roundtrip_bit_faithful():
+    """Conversion is an exact permutation for every field (the mx
+    relayout carries 32-bit payloads through u16-split one-hot
+    matmuls)."""
+    from gpu_physics_engine_tpu.ops.gs_parity import from_parity, to_parity
+    cfg = _dense_cfg()
+    st = _init(cfg)
+    carry = to_parity(st, cfg)
+    back = from_parity(carry, st, cfg)
+    _assert_state_equal(st, back)
+
+
+def test_parity_relocate_bit_matches_flat_pull():
+    """relocate_parity uses the same matching cores as relocate_pallas
+    (_plan_choose/_apply_merge) through cross-parity views: storage
+    evolution must be bit-identical, deferral counts included."""
+    from gpu_physics_engine_tpu.ops.gs_parity import (from_parity,
+                                                      relocate_parity,
+                                                      to_parity)
+    from gpu_physics_engine_tpu.ops.tiled_pallas import relocate_pallas
+    for match in ("flip", "greedy"):
+        cfg = _dense_cfg(tiled_match=match)
+        st = _init(cfg)
+        # kick positions so there are real movers (shift everyone by
+        # ~0.8 tile edges -> plenty of boundary crossers)
+        import dataclasses
+        t = tiled.tile_geometry(cfg)[0]
+        st = dataclasses.replace(
+            st, x=np.clip(np.asarray(st.x) + 0.8 * t, 0.0,
+                          cfg.world_width).astype(np.float32))
+
+        flat = relocate_pallas(st, cfg)
+
+        t_, TY, TX = tiled.tile_geometry(cfg)
+        subs, na, ovf = to_parity(st, cfg)
+        cap = st.dims[0]
+        subs2, defer = relocate_parity(subs, cfg, cap, t_, TY, TX)
+        par = from_parity((subs2, na, ovf + defer), st, cfg)
+        _assert_state_equal(flat, par)
+
+
+def test_parity_step_bit_matches_flat_gs():
+    """One full engine step (relocate -> GS solve -> integrate) through
+    gs_parity_tile_step equals the flat-layout tiled_step_fn bitwise."""
+    from gpu_physics_engine_tpu.ops.gs_parity import gs_parity_tile_step
+    cfg = _dense_cfg()
+    st = _init(cfg)
+    params = StepParams.make(cfg.dt)
+
+    flat = tiled.tiled_step_fn(st, params, cfg)  # gs_layout auto = flat
+    par = gs_parity_tile_step(st, params, cfg, n_steps=1)
+    _assert_state_equal(flat, par)
+
+
+def test_parity_engine_wiring():
+    """TiledEngine with gs_layout='par' + tiled_collide='pallas' routes
+    chunks through the parity step and stays finite/conserving."""
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    cfg = _dense_cfg(gs_layout="par")
+    eng = TiledEngine(cfg, seed=0, chunk=2)
+    eng.run(2)
+    pid = np.asarray(eng.state.pid)
+    assert (np.sort(pid[pid >= 0]) == np.arange(64)).all()
+    assert np.isfinite(np.asarray(eng.state.x)).all()
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-v"]))
