@@ -104,11 +104,15 @@ class TiledEngine:
         # never reaches high-index tiles (measured: deferred population
         # 1% -> 67% over 5760 steps at 4M, scripts/tpu_probe_4m_horizon.py).
         # The rotating tile_offset removes the prefix bias across sweeps.
+        # the hysteresis filter (delta) keeps dancers OUT of the sweep's
+        # mover set — they are pair-set-safe in place — so the budget
+        # only has to cover the genuinely displaced population
         sweep_cap = config.sweep_mover_capacity or max(
-            config.mover_capacity, config.max_particles // 8)
+            config.mover_capacity, config.max_particles // 16)
         self._sweep = jax.jit(
-            lambda s, off: tiled.relocate(s, config, m_cap=sweep_cap,
-                                          tile_offset=off),
+            lambda s, off: tiled.relocate(
+                s, config, m_cap=sweep_cap, tile_offset=off,
+                delta=config.hysteresis_delta),
             donate_argnums=0)
         self._sweep_count = 0
         pallas_reloc = config.tiled_relocate == "pallas" or (

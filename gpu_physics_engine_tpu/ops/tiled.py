@@ -426,15 +426,23 @@ def _insert_compacted(state: TileState, ty_t, tx_t, fields, live):
 
 
 def relocate(state: TileState, config: SimConfig, m_cap: int | None = None,
-             tile_offset=None) -> TileState:
+             tile_offset=None, delta: float = 0.0) -> TileState:
     """Move boundary-crossing particles to their new tiles (deferred-safe).
 
     ``m_cap`` overrides config.mover_capacity (the periodic exact sweep
-    passes its own, larger budget — see SimConfig.sweep_mover_capacity).
+    passes its own budget — see SimConfig.sweep_mover_capacity).
     ``tile_offset`` (traced i32 scalar) rotates the mover-tile scan
     start: the buffer-overflow compaction takes a PREFIX of flat tile
     order, so a fixed start systematically starves high-index tiles
-    across repeated overflowing calls — the sweep rotates it."""
+    across repeated overflowing calls — the sweep rotates it.
+    ``delta`` > 0 applies the pull relocate's hysteresis band to the
+    MOVER TEST: particles within ``delta`` world units of their storage
+    tile's boundary are left in place (they are pair-set-safe where
+    they are — tiled_pallas._step_offsets semantics).  The sweep passes
+    config.hysteresis_delta so it only handles the genuinely displaced
+    population, keeping the per-sweep mover count (and therefore the
+    buffer and the sweep cost) small enough to run at a short cadence —
+    the 4M-density jam fix (PERF.md '4M storage-jam')."""
     t, TY, TX = tile_geometry(config)
     if m_cap is None:
         m_cap = config.mover_capacity
@@ -445,7 +453,22 @@ def relocate(state: TileState, config: SimConfig, m_cap: int | None = None,
     ty_want, tx_want = _tile_of(state.x, state.y, jnp.float32(t))
     ty_want = jnp.clip(ty_want, 1, TY - 2)
     tx_want = jnp.clip(tx_want, 1, TX - 2)
-    mover = occ & ((ty_want != ty_now) | (tx_want != tx_now))
+    if delta:
+        # hysteresis band (one-hop form of tiled_pallas._step_offsets):
+        # crossed only once at least delta past the storage boundary
+        tf = jnp.float32(t)
+        d = jnp.float32(delta)
+        dty = ((state.y >= ty_now.astype(jnp.float32) * tf + d)
+               .astype(_I32)
+               - (state.y < (ty_now - 1).astype(jnp.float32) * tf - d)
+               .astype(_I32))
+        dtx = ((state.x >= tx_now.astype(jnp.float32) * tf + d)
+               .astype(_I32)
+               - (state.x < (tx_now - 1).astype(jnp.float32) * tf - d)
+               .astype(_I32))
+        mover = occ & ((dty != 0) | (dtx != 0))
+    else:
+        mover = occ & ((ty_want != ty_now) | (tx_want != tx_now))
 
     cap, TY, TX = state.dims
     ntiles = TY * TX
