@@ -63,7 +63,8 @@ BASELINE_MS = {100_000: 1.03, 256_000: 1.28, 512_000: 1.88, 756_000: 2.53,
 # ~half of every step yet only moves storage, so running it every k-th
 # step wins 25-40% at every size.
 from gpu_physics_engine_tpu.core.tuned import (  # noqa: E402
-    TUNED_NEWTON as _NEWTON, TUNED_TILE_GEOMETRY as _TILE_GEOM)
+    TUNED_NEWTON as _NEWTON, TUNED_TILE_GEOMETRY as _TILE_GEOM,
+    tuned_overrides as _overrides)
 
 SETTLE = 480     # steps before timing (mover churn decays).  Multiple of
                  # the 240-step sweep cadence so the settle phase runs the
@@ -81,7 +82,8 @@ def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
     cfg = SimConfig(max_particles=n, initial_particles=n,
                     pipeline="tiled", tile_cap=cap, tile_multiplier=mult,
                     tiled_match=match, tiled_relocate_interval=iv,
-                    tiled_uniform_radius=uniform, tiled_newton=newton)
+                    tiled_uniform_radius=uniform, tiled_newton=newton,
+                    **_overrides(n))
     try:
         eng = TiledEngine(cfg, seed=0, chunk=chunk)
         eng.run(SETTLE)
@@ -110,7 +112,14 @@ def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
     # events accumulated over both timed windows
     defer_pct = ((float(eng.state.overflow_count) - of0)
                  / (2 * WINDOW) / n * 100.0) * iv
-    return ms, defer_pct, eng
+    # the sharper physics-quality bound: only >= 2-tile storage
+    # displacement can miss collisions (ops/tiled.stale_pair_fraction —
+    # the deferred population also counts benign dancers and the
+    # relocation latency of granular clustering)
+    from gpu_physics_engine_tpu.ops.tiled import stale_pair_fraction
+    stale_pct = float(jax.jit(
+        lambda s: stale_pair_fraction(s, cfg))(eng.state)) * 100.0
+    return ms, defer_pct, stale_pct, eng
 
 
 def measure_render(eng):
@@ -139,7 +148,7 @@ def measure_substeps2() -> float:
                     substeps=2, pipeline="tiled", tile_cap=cap,
                     tile_multiplier=mult, tiled_match=match,
                     tiled_relocate_interval=iv, tiled_uniform_radius=True,
-                    tiled_newton=_NEWTON)
+                    tiled_newton=_NEWTON, **_overrides(4_194_304))
     eng = TiledEngine(cfg, seed=0, chunk=chunk)
     eng.run(128)
     float(eng.state.x[0, 0, 0])
@@ -171,12 +180,13 @@ def main():
             detail[str(n)] = {"skipped": "soft deadline"}
             continue
         try:
-            ms, defer_pct, eng = measure_tiled(n)
+            ms, defer_pct, stale_pct, eng = measure_tiled(n)
             detail[str(n)] = {
                 "ms_per_step": round(ms, 3),
                 "baseline_ms": BASELINE_MS[n],
                 "vs_baseline": round(BASELINE_MS[n] / ms, 3),
                 "deferred_population_pct": round(defer_pct, 3),
+                "stale_pair_pct": round(stale_pct, 4),
                 "particle_steps_per_sec": round(n / ms * 1e3),
             }
             if n == 4_194_304:

@@ -175,11 +175,13 @@ class SimConfig:
     # integrate all run on the sub-grids; full-space state crosses the
     # mx relayout only at scan-chunk boundaries).  All bit-match the
     # scalar model (tests/test_gs_tiled.py, tests/test_gs_parity.py).
-    # "auto" = flat: "dec" kernels are ~4x cheaper but the per-step
-    # relayout tax erases the win (measured: XLA strided ~130 ms @1M,
-    # mx matmuls 10.2 ms for x/y/pid alone — flat 23.7 vs mx 28.4 ms,
-    # PERF.md); "par" is the fix — flipped here once hardware-verified
-    # (scripts/tpu_probe_gspar.py).
+    # "auto" = "par" on real TPU (engine chunks; hardware-verified
+    # bit-exact and 19% faster than flat: 1M 20.6 vs 25.5 ms,
+    # scripts/tpu_probe_gspar.py), flat elsewhere.  "dec"/"mx" are kept
+    # as structural cross-checks: the dec kernels are ~4x cheaper but
+    # their per-step relayout tax erases the win (XLA strided ~130 ms
+    # @1M; mx matmuls 10.2 ms for x/y/pid alone — flat 23.7 vs mx
+    # 28.4 ms, PERF.md); "par" pays it only at scan-chunk boundaries.
     gs_layout: str = "auto"
     # gs_layout="mx" relayout precision: True (safe default) splits every
     # 32-bit plane into exact u16-half f32 planes before the one-hot

@@ -104,15 +104,17 @@ class TiledEngine:
         # never reaches high-index tiles (measured: deferred population
         # 1% -> 67% over 5760 steps at 4M, scripts/tpu_probe_4m_horizon.py).
         # The rotating tile_offset removes the prefix bias across sweeps.
-        # the hysteresis filter (delta) keeps dancers OUT of the sweep's
-        # mover set — they are pair-set-safe in place — so the budget
-        # only has to cover the genuinely displaced population
+        # the sweep is EXACT (no hysteresis filter): restoring the
+        # in-band dancers too is what keeps hysteresis configs
+        # long-horizon stable at a short cadence (the filtered variant
+        # left dancers accumulating — measured in
+        # scripts/tpu_probe_small_horizon.py; tiled.relocate keeps the
+        # delta parameter for experiments)
         sweep_cap = config.sweep_mover_capacity or max(
             config.mover_capacity, config.max_particles // 16)
         self._sweep = jax.jit(
-            lambda s, off: tiled.relocate(
-                s, config, m_cap=sweep_cap, tile_offset=off,
-                delta=config.hysteresis_delta),
+            lambda s, off: tiled.relocate(s, config, m_cap=sweep_cap,
+                                          tile_offset=off),
             donate_argnums=0)
         self._sweep_count = 0
         pallas_reloc = config.tiled_relocate == "pallas" or (
@@ -145,11 +147,16 @@ class TiledEngine:
         # full-space <-> parity ONCE around the whole scanned window
         # (ops/gs_parity.py — the per-step relayout tax is what sank the
         # dec/mx layouts, PERF.md), instead of per step via step_fn
+        # auto resolves to "par" on real TPU: hardware-verified bit-exact
+        # (scripts/tpu_probe_gspar.py xcheck dx=dy=0.0) and 19% faster
+        # (1M: 20.6 ms vs flat 25.5).  On CPU auto stays flat (the
+        # parity chunk compiles ~20 interpret kernels — test-hostile).
+        on_tpu = jax.default_backend() == "tpu"
         gs_par = (config.tiled_solver == "gs"
-                  and config.gs_layout == "par"
+                  and (config.gs_layout == "par"
+                       or (config.gs_layout == "auto" and on_tpu))
                   and (config.tiled_collide == "pallas"
-                       or (config.tiled_collide == "auto"
-                           and jax.default_backend() == "tpu")))
+                       or (config.tiled_collide == "auto" and on_tpu)))
 
         def _group(s, p, m):
             s = tiled.tiled_step_fn(s, p, config)

@@ -44,8 +44,33 @@ TUNED_TILE_GEOMETRY = {
     1_048_576: (4.4, 6, 32, "greedy", 4),   # 1.554 ms 2.36x @0.49% (iv3)
     2_000_000: (4.4, 6, 16, "greedy", 4),   # 1.561 ms 5.39x @0.86% (iv3)
     3_000_000: (3.3, 6, 16, "greedy", 4),   # 2.863 ms 5.46x @0.19% (iv3)
-    4_194_304: (3.3, 7, 16, "greedy", 2),   # 5.025 ms 4.52x @0.18% (iv3)
+    # 4M: the ONLY long-horizon-stable config class at this density
+    # (103% nominal fill): cap8 + iv2 + hysteresis OFF (TUNED_OVERRIDES).
+    # Faster configs (cap6 iv2 3.85 ms = 5.9x; cap7 iv2 5.0 ms = 4.5x)
+    # all avalanche into a storage jam past ~2000 steps — probes in
+    # DESIGN.md §9 "4M storage-jam".
+    4_194_304: (3.3, 8, 16, "greedy", 2),   # 7.67 ms 2.96x @0.006% stable
 }
+
+
+# Per-size config overrides beyond the geometry tuple — picked by the
+# LONG-HORIZON stability probes (scripts/tpu_probe_jam_bisect.py,
+# tpu_probe_nohyst_curve.py, tpu_probe_small_horizon.py; DESIGN.md §9
+# "4M storage-jam").  The relocate hysteresis band is a per-size
+# decision: at 4M (103% nominal fill) it nucleates an unbounded
+# storage-jam avalanche (deferred population 1% -> 74% over 5760
+# steps) and MUST be off; at the coarse-tile small sizes turning it
+# off floods the matcher and jams the other way.
+TUNED_OVERRIDES = {
+    4_194_304: dict(tiled_hysteresis=0.0),
+}
+
+
+def tuned_overrides(n_particles: int) -> dict:
+    sizes = sorted(TUNED_TILE_GEOMETRY)
+    best = min(sizes, key=lambda s: abs(s / n_particles - 1.0)
+               + abs(n_particles / s - 1.0))
+    return dict(TUNED_OVERRIDES.get(best, {}))
 
 
 def tuned_row(n_particles: int):
@@ -75,6 +100,7 @@ def tuned_config(n_particles: int, max_particles: Optional[int] = None,
               tiled_newton=TUNED_NEWTON,
               initial_particles=n_particles,
               max_particles=max_particles or n_particles)
+    kw.update(tuned_overrides(n_particles))
     kw.update(overrides)
     return SimConfig(**kw)
 

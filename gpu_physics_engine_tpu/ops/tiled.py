@@ -259,6 +259,33 @@ def init_tiles(config: SimConfig, positions, radii, pids=None,
     )
 
 
+def stale_pair_fraction(state: TileState, config: SimConfig):
+    """Fraction of particles whose storage tile is >= 2 tiles (Chebyshev)
+    from their home tile — THE physics-quality bound for the persistent
+    tiled pipeline: the collide kernels' 3x3 window keeps a particle's
+    pair set exact up to ONE tile of storage displacement (hysteresis
+    dancers and one-hop-lagged movers are safe); only the >= 2 population
+    can miss collisions.  The deferred-population counter
+    (overflow_count deltas) over-reads quality loss: it also counts
+    benign in-band dancers and the relocation latency of granular
+    CLUSTERING (dissipative scenes cool and clump — real physics that
+    slowly fills storage locally; measured: 512k's deferred population
+    grows to ~5%% while the stale-pair fraction stays ~0.4%%,
+    scripts/tpu_probe_dilute_diag.py).  Jittable; returns an f32 scalar.
+    """
+    t, TY, TX = tile_geometry(config)
+    occ = state.occupied()
+    ty_now = jax.lax.broadcasted_iota(_I32, state.x.shape, 1)
+    tx_now = jax.lax.broadcasted_iota(_I32, state.x.shape, 2)
+    tyw = jnp.clip(jnp.floor(state.y / jnp.float32(t)).astype(_I32) + 1,
+                   1, TY - 2)
+    txw = jnp.clip(jnp.floor(state.x / jnp.float32(t)).astype(_I32) + 1,
+                   1, TX - 2)
+    d = jnp.maximum(jnp.abs(tyw - ty_now), jnp.abs(txw - tx_now))
+    stale = jnp.sum((d >= 2) & occ)
+    return stale.astype(jnp.float32) / jnp.maximum(state.num_active, 1)
+
+
 def export_particles(state: TileState):
     """Host download: (pid, positions, previous_positions, radii) of live
     slots, sorted by pid (the GpuBuffer::download analog)."""
