@@ -202,6 +202,12 @@ class SimConfig:
     #               6.89 vs 7.79 ms, end-to-end 23.83 vs 25.01;
     #               scripts/tpu_probe_gsrank.py).
     gs_rank: str = "auto"
+    # gs_layout="par": fuse each phase's four per-parity kernels (rank /
+    # relocate plan / relocate apply) into one kernel pass — identical
+    # math, 4x less input HBM traffic (every sub-grid is re-read by all
+    # four parity kernels otherwise).  Off until hardware-verified
+    # (scripts/tpu_probe_gspar2.py).
+    gs_par_fused: bool = False
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
     # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover

@@ -49,7 +49,10 @@ TUNED_TILE_GEOMETRY = {
     # Faster configs (cap6 iv2 3.85 ms = 5.9x; cap7 iv2 5.0 ms = 4.5x)
     # all avalanche into a storage jam past ~2000 steps — probes in
     # DESIGN.md §9 "4M storage-jam".
-    4_194_304: (3.3, 8, 16, "greedy", 2),   # 7.67 ms 2.96x @0.006% stable
+    # greedy matching and the auto sweep budget are both load-bearing
+    # here (flip2 jams at 25%; a 64k sweep budget re-grows to 6%/step —
+    # scripts/tpu_probe_4m_final.py)
+    4_194_304: (3.3, 8, 32, "greedy", 2),   # 6.82 ms 3.33x @0.018% stable
 }
 
 

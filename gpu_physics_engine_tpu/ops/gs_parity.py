@@ -167,6 +167,45 @@ def _rank_kernel_par(one_ref, *refs, cap: int, K: int, t: float,
     count_ref[...] = count[0]
 
 
+def _rank_kernel_par_all(one_ref, *refs, cap: int, K: int, t: float,
+                         impl: str, gTY: int, gTX: int):
+    """All four parities' rank tables in ONE kernel pass: identical
+    per-parity math to _rank_kernel_par, but the 48 input blocks are
+    read once instead of once per parity (4x less HBM traffic — the
+    unfused parity rank re-reads every sub-grid from all four parity
+    kernels on top of the 3x band amplification)."""
+    one = one_ref[0]
+    rows = []
+    for f in range(4):
+        base = 12 * f
+        rows.append({p: _rows3(*(r[...] for r in
+                                 refs[base + 3 * i:base + 3 * i + 3]))
+                     for i, p in enumerate(_PARS)})
+    xr, yr, rr, pr = rows
+    outs = refs[48:]
+    select = _rank_net_select if impl == "net" else _rank_minloop_select
+
+    for pi, (pa, pb) in enumerate(_PARS):
+        ty, tx = _coords(refs[1], pa, pb)
+        views = list(zip(_par_views(xr, pa, pb, _OFFS),
+                         _par_views(yr, pa, pb, _OFFS),
+                         _par_views(rr, pa, pb, _OFFS),
+                         _par_views(pr, pa, pb, _OFFS)))
+        streams, count = _member_streams_from_views(one, views, ty, tx,
+                                                    cap, t)
+        src_out, pid_out, rad_out = select(streams, count, K)
+        interior = ((ty >= 1) & (ty <= gTY - 2)
+                    & (tx >= 1) & (tx <= gTX - 2))
+        src_out = [jnp.where(interior, s, -1) for s in src_out]
+        pid_out = [jnp.where(interior, q, _BIGPID) for q in pid_out]
+        rad_out = [jnp.where(interior, rq, 0.0) for rq in rad_out]
+        count = jnp.where(interior, count, 0)
+        outs[4 * pi][...] = jnp.concatenate(src_out, axis=0)
+        outs[4 * pi + 1][...] = jnp.concatenate(pid_out, axis=0)
+        outs[4 * pi + 2][...] = jnp.concatenate(rad_out, axis=0)
+        outs[4 * pi + 3][...] = count[0]
+
+
 def _specs(cap: int, DYp: int, DX: int):
     nb = DYp // BAND
 
@@ -199,6 +238,34 @@ def rank_parity(subs, one, config: SimConfig, cap: int, K: int, t: float,
     DYp, DX = subs["x"][(0, 0)].shape[1:]
     nb, spec3, spec1 = _specs(cap, DYp, DX)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    if config.gs_par_fused:
+        cnt_spec = pl.BlockSpec((BAND, DX), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            partial(_rank_kernel_par_all, cap=cap, K=K, t=t, impl=impl,
+                    gTY=gTY, gTX=gTX),
+            grid=(nb,),
+            in_specs=[smem] + [s for _ in range(4) for p in _PARS
+                               for s in spec3(cap)],
+            out_specs=tuple([spec1(K)] * 3 + [cnt_spec]) * 4,
+            out_shape=tuple(
+                [_sds((K, DYp, DX), jnp.int32),
+                 _sds((K, DYp, DX), jnp.int32),
+                 _sds((K, DYp, DX), jnp.float32),
+                 _sds((DYp, DX), jnp.int32)] * 4),
+            compiler_params=_VMEM,
+            interpret=_interpret(),
+        )(one,
+          *[subs[n][p] for n in ("x", "y", "r", "pid")
+            for p in _PARS for _ in range(3)])
+        tables = {}
+        overflow = jnp.int32(0)
+        for pi, p in enumerate(_PARS):
+            src, rpid, rrad, count = outs[4 * pi:4 * pi + 4]
+            tables[p] = (src, rpid, rrad)
+            overflow = overflow + jnp.sum(jnp.maximum(count - K, 0))
+        return tables, overflow
 
     tables = {}
     overflow = jnp.int32(0)
@@ -365,6 +432,77 @@ def _apply_kernel_par(*refs, cap: int, t: float, gTY: int, gTX: int,
     outs[6][...] = defer[0]
 
 
+def _plan_kernel_par_all(*refs, cap: int, t: float, gTY: int, gTX: int,
+                         match: str, delta: float):
+    """All four parities' relocate plans in one kernel pass (4x less
+    input HBM traffic than four _plan_kernel_par calls)."""
+    rows = []
+    for f in range(3):
+        base = 12 * f
+        rows.append({p: _rows3(*(r[...] for r in
+                                 refs[base + 3 * i:base + 3 * i + 3]))
+                     for i, p in enumerate(_PARS)})
+    xr, yr, pr = rows
+    outs = refs[36:]
+
+    for pi, (pa, pb) in enumerate(_PARS):
+        ty, tx = _coords(refs[1], pa, pb)
+        vx = _par_views(xr, pa, pb, _NEIGHBORS)
+        vy = _par_views(yr, pa, pb, _NEIGHBORS)
+        vp = _par_views(pr, pa, pb, _NEIGHBORS)
+        views = []
+        for e_idx, (ey, ex) in enumerate(_NEIGHBORS):
+            valid_e = ((ty + ey >= 0) & (ty + ey <= gTY - 1)
+                       & (tx + ex >= 0) & (tx + ex <= gTX - 1))
+            views.append((vx[e_idx], vy[e_idx], vp[e_idx], valid_e,
+                          ey, ex))
+        pid_mid = pr[(pa, pb)][1]
+        chosen = _plan_choose(views, pid_mid, ty, tx, cap=cap, t=t,
+                              gTY=gTY, gTX=gTX, match=match, delta=delta)
+        free = pid_mid < 0
+        interior = ((ty >= 1) & (ty <= gTY - 2)
+                    & (tx >= 1) & (tx <= gTX - 2))
+        outs[pi][...] = jnp.where(free & interior,
+                                  jnp.concatenate(chosen, axis=0), -1)
+
+
+def _apply_kernel_par_all(*refs, cap: int, t: float, gTY: int, gTX: int,
+                          match: str, delta: float):
+    """All four parities' relocate applies in one kernel pass; outputs
+    are parity-major (6 field planes + defer per parity)."""
+    rows = {}
+    for f, n in enumerate(_F + ("plan",)):
+        base = 12 * f
+        rows[n] = {p: _rows3(*(r[...] for r in
+                               refs[base + 3 * i:base + 3 * i + 3]))
+                   for i, p in enumerate(_PARS)}
+    outs = refs[84:]
+
+    for pi, (pa, pb) in enumerate(_PARS):
+        my = {n: rows[n][(pa, pb)][1] for n in _F + ("plan",)}
+        ty, tx = _coords(refs[1], pa, pb)
+        dty, dtx, moving = [], [], []
+        for k in range(cap):
+            oy_k, ox_k = _step_offsets(my["x"][k:k + 1], my["y"][k:k + 1],
+                                       ty, tx, t=t, delta=delta,
+                                       gTY=gTY, gTX=gTX)
+            dty.append(oy_k)
+            dtx.append(ox_k)
+            in_grid = ((ty + dty[k] >= 0) & (ty + dty[k] <= gTY - 1))
+            moving.append((my["pid"][k:k + 1] >= 0) & in_grid
+                          & ((dty[k] != 0) | (dtx[k] != 0)))
+        pviews = {n: _par_views(rows[n], pa, pb, _NEIGHBORS)
+                  for n in _F + ("plan",)}
+        nbr_views = [({n: pviews[n][e] for n in _F}, pviews["plan"][e],
+                      ey, ex)
+                     for e, (ey, ex) in enumerate(_NEIGHBORS)]
+        out, defer = _apply_merge(my, nbr_views, moving, dty, dtx,
+                                  cap=cap, match=match)
+        for i, n in enumerate(_F):
+            outs[7 * pi + i][...] = jnp.concatenate(out[n], axis=0)
+        outs[7 * pi + 6][...] = defer[0]
+
+
 def relocate_parity(subs, config: SimConfig, cap: int, t: float,
                     gTY: int, gTX: int):
     """One pull-relocate pass in parity space: 4 plan kernels, then 4
@@ -378,6 +516,46 @@ def relocate_parity(subs, config: SimConfig, cap: int, t: float,
     delta = config.hysteresis_delta
     DYp, DX = subs["x"][(0, 0)].shape[1:]
     nb, spec3, spec1 = _specs(cap, DYp, DX)
+
+    if config.gs_par_fused:
+        plans4 = pl.pallas_call(
+            partial(_plan_kernel_par_all, cap=cap, t=t, gTY=gTY, gTX=gTX,
+                    match=match, delta=delta),
+            grid=(nb,),
+            in_specs=[s for _ in range(3) for p in _PARS
+                      for s in spec3(cap)],
+            out_specs=tuple([spec1(cap)] * 4),
+            out_shape=tuple([_sds((cap, DYp, DX), jnp.int32)] * 4),
+            compiler_params=_VMEM,
+            interpret=_interpret(),
+        )(*[subs[n][p] for n in ("x", "y", "pid")
+            for p in _PARS for _ in range(3)])
+        plans = dict(zip(_PARS, plans4))
+
+        dspec = pl.BlockSpec((BAND, DX), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            partial(_apply_kernel_par_all, cap=cap, t=t, gTY=gTY,
+                    gTX=gTX, match=match, delta=delta),
+            grid=(nb,),
+            in_specs=[s for _ in range(7) for p in _PARS
+                      for s in spec3(cap)],
+            out_specs=tuple([spec1(cap)] * 6 + [dspec]) * 4,
+            out_shape=tuple(
+                [_sds((cap, DYp, DX), jnp.float32)] * 5
+                + [_sds((cap, DYp, DX), jnp.int32),
+                   _sds((DYp, DX), jnp.int32)]) * 4,
+            compiler_params=_VMEM,
+            interpret=_interpret(),
+        )(*[(subs[n] if n != "plan" else plans)[p]
+            for n in _F + ("plan",) for p in _PARS for _ in range(3)])
+        new_subs = {n: {} for n in _F}
+        defer_total = jnp.int32(0)
+        for pi, p in enumerate(_PARS):
+            for i, n in enumerate(_F):
+                new_subs[n][p] = outs[7 * pi + i]
+            defer_total = defer_total + jnp.sum(outs[7 * pi + 6])
+        return new_subs, defer_total
 
     plans = {}
     for (pa, pb) in _PARS:
