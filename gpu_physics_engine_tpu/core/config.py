@@ -176,8 +176,9 @@ class SimConfig:
     # mx relayout only at scan-chunk boundaries).  All bit-match the
     # scalar model (tests/test_gs_tiled.py, tests/test_gs_parity.py).
     # "auto" = "par" on real TPU (engine chunks; hardware-verified
-    # bit-exact and 19% faster than flat: 1M 20.6 vs 25.5 ms,
-    # scripts/tpu_probe_gspar.py), flat elsewhere.  "dec"/"mx" are kept
+    # bit-exact, 1M GS step 11.5 ms vs flat 25.5 with the fused-parity
+    # kernels — scripts/tpu_probe_gspar.py, tpu_probe_gspar2.py), flat
+    # elsewhere.  "dec"/"mx" are kept
     # as structural cross-checks: the dec kernels are ~4x cheaper but
     # their per-step relayout tax erases the win (XLA strided ~130 ms
     # @1M; mx matmuls 10.2 ms for x/y/pid alone — flat 23.7 vs mx
@@ -205,9 +206,10 @@ class SimConfig:
     # gs_layout="par": fuse each phase's four per-parity kernels (rank /
     # relocate plan / relocate apply) into one kernel pass — identical
     # math, 4x less input HBM traffic (every sub-grid is re-read by all
-    # four parity kernels otherwise).  Off until hardware-verified
-    # (scripts/tpu_probe_gspar2.py).
-    gs_par_fused: bool = False
+    # four parity kernels otherwise).  Hardware-verified
+    # (scripts/tpu_probe_gspar2.py): bit-exact (dx=dy=0.0 at 64k) and
+    # 1M GS step 11.53 ms vs 20.63 unfused / 25.5 flat.
+    gs_par_fused: bool = True
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
     # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover
