@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 def _round_up(x: int, m: int) -> int:
@@ -208,8 +208,10 @@ class SimConfig:
     # math, 4x less input HBM traffic (every sub-grid is re-read by all
     # four parity kernels otherwise).  Hardware-verified
     # (scripts/tpu_probe_gspar2.py): bit-exact (dx=dy=0.0 at 64k) and
-    # 1M GS step 11.53 ms vs 20.63 unfused / 25.5 flat.
-    gs_par_fused: bool = True
+    # 1M GS step 11.53 ms vs 20.63 unfused / 25.5 flat.  None = auto:
+    # fused on real TPU, unfused elsewhere (the fused kernels' 4x-bigger
+    # programs hit CPU interpret's superlinear compile).
+    gs_par_fused: Optional[bool] = None
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
     # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover

@@ -62,6 +62,15 @@ from gpu_physics_engine_tpu.ops.tiled_pallas import (_NEIGHBORS,
                                                      _step_offsets)
 
 _VMEM = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
+
+def _fused(config: SimConfig) -> bool:
+    """gs_par_fused tri-state: None = fused on real TPU only (the fused
+    kernels' 4x-bigger programs hit CPU interpret's superlinear
+    compile)."""
+    if config.gs_par_fused is None:
+        return jax.default_backend() == "tpu"
+    return bool(config.gs_par_fused)
+
 _F = ("x", "y", "px", "py", "r", "pid")
 _FILL = {"x": 0.0, "y": 0.0, "px": 0.0, "py": 0.0, "r": 0.0, "pid": -1}
 
@@ -239,7 +248,7 @@ def rank_parity(subs, one, config: SimConfig, cap: int, K: int, t: float,
     nb, spec3, spec1 = _specs(cap, DYp, DX)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    if config.gs_par_fused:
+    if _fused(config):
         cnt_spec = pl.BlockSpec((BAND, DX), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
@@ -517,7 +526,7 @@ def relocate_parity(subs, config: SimConfig, cap: int, t: float,
     DYp, DX = subs["x"][(0, 0)].shape[1:]
     nb, spec3, spec1 = _specs(cap, DYp, DX)
 
-    if config.gs_par_fused:
+    if _fused(config):
         plans4 = pl.pallas_call(
             partial(_plan_kernel_par_all, cap=cap, t=t, gTY=gTY, gTX=gTX,
                     match=match, delta=delta),

@@ -103,6 +103,38 @@ def test_parity_step_bit_matches_flat_gs():
     _assert_state_equal(flat, par)
 
 
+def test_fused_parity_kernels_bitmatch_unfused():
+    """gs_par_fused=True (the TPU production path: one kernel per phase
+    over all four parities) is bit-identical to the unfused layout —
+    rank tables and one relocate pass compared directly (the cheapest
+    full coverage of all three fused kernels)."""
+    import jax.numpy as jnp
+    from gpu_physics_engine_tpu.ops.gs_parity import (rank_parity,
+                                                      relocate_parity,
+                                                      to_parity)
+    cfg_u = _dense_cfg(gs_par_fused=False)
+    cfg_f = _dense_cfg(gs_par_fused=True)
+    st = _init(cfg_u, n=48)
+    t, TY, TX = tiled.tile_geometry(cfg_u)
+    cap, K = st.dims[0], cfg_u.max_occupancy
+    subs, _, _ = to_parity(st, cfg_u)
+    one = jnp.ones((1,), jnp.float32)
+
+    tab_u, ovf_u = rank_parity(subs, one, cfg_u, cap, K, t, TY, TX)
+    tab_f, ovf_f = rank_parity(subs, one, cfg_f, cap, K, t, TY, TX)
+    for p in tab_u:
+        for a, b in zip(tab_u[p], tab_f[p]):
+            assert (np.asarray(a) == np.asarray(b)).all()
+    assert int(ovf_u) == int(ovf_f)
+
+    ru, du = relocate_parity(subs, cfg_u, cap, t, TY, TX)
+    rf, df = relocate_parity(subs, cfg_f, cap, t, TY, TX)
+    for n in ru:
+        for p in ru[n]:
+            assert (np.asarray(ru[n][p]) == np.asarray(rf[n][p])).all()
+    assert int(du) == int(df)
+
+
 def test_parity_engine_wiring():
     """TiledEngine with gs_layout='par' + tiled_collide='pallas' routes
     chunks through the parity step and stays finite/conserving."""
