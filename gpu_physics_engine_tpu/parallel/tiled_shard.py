@@ -325,8 +325,18 @@ def make_sharded_tiled_step_fn(config: SimConfig, mesh: Mesh,
             # migration_capacity: the periodic exact sweep relocates the
             # whole hysteresis-band backlog at once, and capping it at
             # m_cap (256) would strand multi-hop-stale movers for many
-            # sweeps at production scale.
-            l_cap = config.mover_capacity
+            # sweeps at production scale.  For the SWEEP the budget
+            # scales with the slab population, mirroring TiledEngine's
+            # jam defense (DESIGN.md §9 "4M storage-jam": an
+            # under-provisioned sweep can never drain a dense slab's
+            # displaced-storage backlog).
+            if relocate_only:
+                cap_ = local.dims[0]
+                slab_slots = cap_ * rows * TX
+                l_cap = config.sweep_mover_capacity or max(
+                    config.mover_capacity, slab_slots // 32)
+            else:
+                l_cap = config.mover_capacity
             idx_l, live_l, fields_l, (tyl, txl), n_local = pack(
                 local, local_move, (jnp.clip(ty_want_l, 0, rows - 1),
                                     tx_want), l_cap)
