@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gpu_physics_engine_tpu.core.config import SimConfig
 from gpu_physics_engine_tpu.ops.gs_pallas import (
     _OFFS, _PARS, _apply_dec_kernel, _dec_off, _interpret,
-    _member_streams_from_views, _mx_blocks, _mx_decompose, _mx_geometry,
+    _member_streams_from_views, _mx_blocks, _mx_decompose,
     _mx_onehot, _mx_recompose, _mx_parity, _rank_minloop_select,
     _rank_net_select, _rows3, _sds, _solve_dec_kernel, _lane, BAND,
     _BIGPID)
