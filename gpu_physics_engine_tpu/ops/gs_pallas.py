@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -73,25 +74,41 @@ def _noc(x, one):
     return x * one
 
 
-def _sweep(lx, ly, lr, lpid, active, stiffness, one):
+def _sweep(lx, ly, lr, lpid, active, stiffness, one, r0=None):
     """Reference-ordered sequential pair sweep on rank-local values
-    (collision_solver.wgsl:66-118 / reference_model.solve_colored)."""
+    (collision_solver.wgsl:66-118 / reference_model.solve_colored).
+
+    ``r0`` engages the uniform-radius specialization (all radii equal —
+    SimConfig.tiled_uniform_radius): rsum and the mass split become
+    compile-time f32 constants computed with the exact runtime op
+    sequence (numpy f32), dropping two divisions and two maxes per
+    pair.  Bit-identical to the general path wherever the backend's
+    f32 division is IEEE (CPU; on the VPU the general path's runtime
+    division is itself ulp-approximate, PERF.md "GS parity")."""
     K = len(lx)
+    if r0 is not None:
+        rsum_c = np.float32(r0) + np.float32(r0)
+        rsum2_c = rsum_c * rsum_c
+        w_c = np.float32(r0) / np.maximum(rsum_c, np.float32(MIN_DISTANCE))
     for a in range(K - 1):
         for b in range(a + 1, K):
             dx = lx[a] - lx[b]
             dy = ly[a] - ly[b]
             dist = jnp.sqrt(_noc(dx * dx, one) + _noc(dy * dy, one))
-            rsum = lr[a] + lr[b]
-            hit = (active & (rsum * rsum > dist * dist)
+            rsum = rsum_c if r0 is not None else lr[a] + lr[b]
+            rsum2 = rsum2_c if r0 is not None else rsum * rsum
+            hit = (active & (rsum2 > dist * dist)
                    & (dist > MIN_DISTANCE)
                    & (lpid[a] < _BIGPID) & (lpid[b] < _BIGPID))
             safe = jnp.maximum(dist, MIN_DISTANCE)
             pen = rsum - dist
             cx = dx / safe * pen * stiffness
             cy = dy / safe * pen * stiffness
-            wa = lr[b] / jnp.maximum(rsum, MIN_DISTANCE)
-            wb = lr[a] / jnp.maximum(rsum, MIN_DISTANCE)
+            if r0 is not None:
+                wa = wb = w_c
+            else:
+                wa = lr[b] / jnp.maximum(rsum, MIN_DISTANCE)
+                wb = lr[a] / jnp.maximum(rsum, MIN_DISTANCE)
             lx[a] = jnp.where(hit, lx[a] + _noc(cx * wa, one), lx[a])
             ly[a] = jnp.where(hit, ly[a] + _noc(cy * wa, one), ly[a])
             lx[b] = jnp.where(hit, lx[b] - _noc(cx * wb, one), lx[b])
@@ -99,15 +116,23 @@ def _sweep(lx, ly, lr, lpid, active, stiffness, one):
     return lx, ly
 
 
-def _member_streams_from_views(one, views, ty, tx, cap: int, t: float):
+def _member_streams_from_views(one, views, ty, tx, cap: int, t: float,
+                               r0=None):
     """Candidate streams from pre-built neighbor views: ``views`` =
     [(x_e, y_e, r_e, p_e)] in _OFFS order, ``ty``/``tx`` = FULL-space
     tile coords of each lane's cell (the parity drivers reconstruct
-    them from sub-grid indices).  Op-identical to the flat path."""
+    them from sub-grid indices).  Op-identical to the flat path.
+
+    With ``r0`` (uniform radius, SimConfig.tiled_uniform_radius) the
+    views are (x_e, y_e, p_e) triples — the radius planes are never
+    read — and the membership radius is the compile-time constant
+    r0*r0 (numpy f32 = the runtime f32 product, bit-identical);
+    streams carry rad=None."""
     shape1 = ty.shape
     tf = jnp.float32(t)
     lox = (tx - 1).astype(jnp.float32) * tf  # my cell's AABB (world coords)
     loy = (ty - 1).astype(jnp.float32) * tf
+    rr_c = None if r0 is None else np.float32(r0) * np.float32(r0)
 
     # membership per (j, s): circle strictly overlaps my cell's AABB.
     # NOTE: the full 2D clip is load-bearing even on axis-aligned
@@ -115,16 +140,21 @@ def _member_streams_from_views(one, views, ty, tx, cap: int, t: float):
     # stored one tile off its home, so its center is NOT confined to the
     # storage tile's AABB and no per-offset specialization is valid.
     streams = []  # (pid_masked, rad, code)
-    for j, (x_e, y_e, r_e, p_e) in enumerate(views):
+    for j, view in enumerate(views):
+        if r0 is None:
+            x_e, y_e, r_e, p_e = view
+        else:
+            x_e, y_e, p_e = view
         for s in range(cap):
             cx = x_e[s:s + 1]
             cy = y_e[s:s + 1]
-            cr = r_e[s:s + 1]
+            cr = r_e[s:s + 1] if r0 is None else None
             px = jnp.clip(cx, lox, lox + tf)
             py = jnp.clip(cy, loy, loy + tf)
             d2 = (_noc((cx - px) * (cx - px), one)
                   + _noc((cy - py) * (cy - py), one))
-            member = (p_e[s:s + 1] >= 0) & (d2 < cr * cr)
+            member = (p_e[s:s + 1] >= 0) & (
+                d2 < rr_c if r0 is not None else d2 < cr * cr)
             streams.append((jnp.where(member, p_e[s:s + 1], _BIGPID),
                             cr, j * cap + s))
 
@@ -163,6 +193,7 @@ def _rank_minloop_select(streams, count, K: int):
     (src_out, pid_out, rad_out) lists of K shape1 arrays."""
     shape1 = count.shape
 
+    uniform = streams[0][1] is None
     taken = [jnp.zeros(shape1, bool) for _ in streams]
     src_out, pid_out, rad_out = [], [], []
     for _ in range(K):
@@ -172,16 +203,17 @@ def _rank_minloop_select(streams, count, K: int):
                 minpid, jnp.where(taken[idx], _BIGPID, pid_m))
         valid = minpid < _BIGPID
         src_q = jnp.full(shape1, -1, jnp.int32)
-        rad_q = jnp.zeros(shape1, jnp.float32)
+        rad_q = None if uniform else jnp.zeros(shape1, jnp.float32)
         for idx, (pid_m, cr, code) in enumerate(streams):
             hitq = valid & ~taken[idx] & (pid_m == minpid)
             src_q = jnp.where(hitq, code, src_q)
-            rad_q = jnp.where(hitq, cr, rad_q)
+            if not uniform:
+                rad_q = jnp.where(hitq, cr, rad_q)
             taken[idx] = taken[idx] | hitq
         src_out.append(src_q)
         pid_out.append(jnp.where(valid, minpid, _BIGPID))
         rad_out.append(rad_q)
-    return src_out, pid_out, rad_out
+    return src_out, pid_out, None if uniform else rad_out
 
 
 def _rank_kernel(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
@@ -304,20 +336,27 @@ def _rank_net_select(streams, count, K: int):
                   for i in range(0, len(groups), 2)]
     top = groups[0]
 
+    uniform = streams[0][1] is None
     src_out, pid_out, rad_out = [], [], []
     for q in range(K):
         pid_q = top[q]  # == _BIGPID when fewer than q+1 members
         valid = pid_q < _BIGPID
+        # hoisted valid-mask: pid_q_safe = -2 when invalid can match no
+        # masked stream pid (>= 0 or _BIGPID), so the per-stream
+        # `valid &` is one select per q instead of one AND per
+        # (q, stream) — bit-identical outputs
+        pid_q_safe = jnp.where(valid, pid_q, -2)
         src_q = jnp.full(shape1, -1, jnp.int32)
-        rad_q = jnp.zeros(shape1, jnp.float32)
+        rad_q = None if uniform else jnp.zeros(shape1, jnp.float32)
         for pid_m, cr, code in streams:
-            hit = valid & (pid_m == pid_q)
+            hit = pid_m == pid_q_safe
             src_q = jnp.where(hit, code, src_q)
-            rad_q = jnp.where(hit, cr, rad_q)
+            if not uniform:
+                rad_q = jnp.where(hit, cr, rad_q)
         src_out.append(src_q)
         pid_out.append(pid_q)
         rad_out.append(rad_q)
-    return src_out, pid_out, rad_out
+    return src_out, pid_out, None if uniform else rad_out
 
 
 def _rank_kernel_net(one_ref, xu, xm, xd, yu, ym, yd, ru, rm, rd, pu, pm, pd,
@@ -655,19 +694,24 @@ def _dec_views(rows_by_par, ac: int, bc: int):
 
 
 def _solve_dec_kernel(one_ref, *refs, cap: int, K: int, ac: int, bc: int,
-                      stiffness: float):
+                      stiffness: float, r0=None):
     """Fused resolve + ordered sweep for ONE color on its decimated
-    sub-grid (no checkerboard mask — every lane is an active cell)."""
+    sub-grid (no checkerboard mask — every lane is an active cell).
+    With ``r0`` (uniform radius) the rrad table is absent from the call
+    and the sweep uses the compile-time constants."""
     one = one_ref[0]
-    # refs: per parity x(3), then per parity y(3), then src, rpid, rrad
+    # refs: per parity x(3), then per parity y(3), then src, rpid[, rrad]
     xr = {p: _rows3(*(r[...] for r in refs[3 * i:3 * i + 3]))
           for i, p in enumerate(_PARS)}
     yr = {p: _rows3(*(r[...] for r in refs[12 + 3 * i:12 + 3 * i + 3]))
           for i, p in enumerate(_PARS)}
     src_v = refs[24][...]
     rpid_v = refs[25][...]
-    rrad_v = refs[26][...]
-    ux_ref, uy_ref = refs[27], refs[28]
+    if r0 is None:
+        rrad_v = refs[26][...]
+        ux_ref, uy_ref = refs[27], refs[28]
+    else:
+        ux_ref, uy_ref = refs[26], refs[27]
 
     band = src_v.shape[1]
     shape1 = (1, band, src_v.shape[2])
@@ -686,11 +730,12 @@ def _solve_dec_kernel(one_ref, *refs, cap: int, K: int, ac: int, bc: int,
                 yq = jnp.where(hitq, vy[j][s:s + 1], yq)
         lx.append(xq)
         ly.append(yq)
-        lr.append(rrad_v[q:q + 1])
+        lr.append(None if r0 is not None else rrad_v[q:q + 1])
         lpid.append(rpid_v[q:q + 1])
 
     active = jnp.full(shape1, True)
-    lx, ly = _sweep(lx, ly, lr, lpid, active, jnp.float32(stiffness), one)
+    lx, ly = _sweep(lx, ly, lr, lpid, active, jnp.float32(stiffness), one,
+                    r0=r0)
     ux_ref[...] = jnp.concatenate(lx, axis=0)
     uy_ref[...] = jnp.concatenate(ly, axis=0)
 

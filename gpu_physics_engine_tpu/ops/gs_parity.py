@@ -140,24 +140,32 @@ def _par_views(rows_by_par, pa: int, pb: int, offs):
 # ---------------------------------------------------------------------------
 
 def _rank_kernel_par(one_ref, *refs, cap: int, K: int, t: float,
-                     impl: str, pa: int, pb: int, gTY: int, gTX: int):
-    # refs: x, y, r, pid; each 4 parities x (up, mid, dn); then outs
+                     impl: str, pa: int, pb: int, gTY: int, gTX: int,
+                     r0=None):
+    # refs: x, y, [r,] pid; each 4 parities x (up, mid, dn); then outs.
+    # r0 (uniform radius): the radius sub-grids are absent from the
+    # call and no rrad table is produced.
     one = one_ref[0]
+    nf = 3 if r0 is not None else 4
     rows = []
-    for f in range(4):
+    for f in range(nf):
         base = 12 * f
         rows.append({p: _rows3(*(r[...] for r in
                                  refs[base + 3 * i:base + 3 * i + 3]))
                      for i, p in enumerate(_PARS)})
-    xr, yr, rr, pr = rows
-    src_ref, rpid_ref, rrad_ref, count_ref = refs[48:]
+    if r0 is not None:
+        xr, yr, pr = rows
+        src_ref, rpid_ref, count_ref = refs[12 * nf:]
+    else:
+        xr, yr, rr, pr = rows
+        src_ref, rpid_ref, rrad_ref, count_ref = refs[12 * nf:]
 
     ty, tx = _coords(refs[1], pa, pb)  # any mid block for shape
-    views = list(zip(_par_views(xr, pa, pb, _OFFS),
-                     _par_views(yr, pa, pb, _OFFS),
-                     _par_views(rr, pa, pb, _OFFS),
-                     _par_views(pr, pa, pb, _OFFS)))
-    streams, count = _member_streams_from_views(one, views, ty, tx, cap, t)
+    field_rows = ((xr, yr, pr) if r0 is not None else (xr, yr, rr, pr))
+    views = list(zip(*(_par_views(fr, pa, pb, _OFFS)
+                       for fr in field_rows)))
+    streams, count = _member_streams_from_views(one, views, ty, tx, cap,
+                                                t, r0=r0)
     select = _rank_net_select if impl == "net" else _rank_minloop_select
     src_out, pid_out, rad_out = select(streams, count, K)
 
@@ -167,52 +175,53 @@ def _rank_kernel_par(one_ref, *refs, cap: int, K: int, t: float,
     interior = ((ty >= 1) & (ty <= gTY - 2) & (tx >= 1) & (tx <= gTX - 2))
     src_out = [jnp.where(interior, s, -1) for s in src_out]
     pid_out = [jnp.where(interior, q, _BIGPID) for q in pid_out]
-    rad_out = [jnp.where(interior, rq, 0.0) for rq in rad_out]
     count = jnp.where(interior, count, 0)
 
     src_ref[...] = jnp.concatenate(src_out, axis=0)
     rpid_ref[...] = jnp.concatenate(pid_out, axis=0)
-    rrad_ref[...] = jnp.concatenate(rad_out, axis=0)
+    if r0 is None:
+        rad_out = [jnp.where(interior, rq, 0.0) for rq in rad_out]
+        rrad_ref[...] = jnp.concatenate(rad_out, axis=0)
     count_ref[...] = count[0]
 
 
 def _rank_kernel_par_all(one_ref, *refs, cap: int, K: int, t: float,
-                         impl: str, gTY: int, gTX: int):
+                         impl: str, gTY: int, gTX: int, r0=None):
     """All four parities' rank tables in ONE kernel pass: identical
-    per-parity math to _rank_kernel_par, but the 48 input blocks are
-    read once instead of once per parity (4x less HBM traffic — the
-    unfused parity rank re-reads every sub-grid from all four parity
-    kernels on top of the 3x band amplification)."""
+    per-parity math to _rank_kernel_par, but the 48 (36 uniform) input
+    blocks are read once instead of once per parity (4x less HBM
+    traffic — the unfused parity rank re-reads every sub-grid from all
+    four parity kernels on top of the 3x band amplification)."""
     one = one_ref[0]
+    nf = 3 if r0 is not None else 4
+    no = 3 if r0 is not None else 4
     rows = []
-    for f in range(4):
+    for f in range(nf):
         base = 12 * f
         rows.append({p: _rows3(*(r[...] for r in
                                  refs[base + 3 * i:base + 3 * i + 3]))
                      for i, p in enumerate(_PARS)})
-    xr, yr, rr, pr = rows
-    outs = refs[48:]
+    outs = refs[12 * nf:]
     select = _rank_net_select if impl == "net" else _rank_minloop_select
 
     for pi, (pa, pb) in enumerate(_PARS):
         ty, tx = _coords(refs[1], pa, pb)
-        views = list(zip(_par_views(xr, pa, pb, _OFFS),
-                         _par_views(yr, pa, pb, _OFFS),
-                         _par_views(rr, pa, pb, _OFFS),
-                         _par_views(pr, pa, pb, _OFFS)))
+        views = list(zip(*(_par_views(fr, pa, pb, _OFFS)
+                           for fr in rows)))
         streams, count = _member_streams_from_views(one, views, ty, tx,
-                                                    cap, t)
+                                                    cap, t, r0=r0)
         src_out, pid_out, rad_out = select(streams, count, K)
         interior = ((ty >= 1) & (ty <= gTY - 2)
                     & (tx >= 1) & (tx <= gTX - 2))
         src_out = [jnp.where(interior, s, -1) for s in src_out]
         pid_out = [jnp.where(interior, q, _BIGPID) for q in pid_out]
-        rad_out = [jnp.where(interior, rq, 0.0) for rq in rad_out]
         count = jnp.where(interior, count, 0)
-        outs[4 * pi][...] = jnp.concatenate(src_out, axis=0)
-        outs[4 * pi + 1][...] = jnp.concatenate(pid_out, axis=0)
-        outs[4 * pi + 2][...] = jnp.concatenate(rad_out, axis=0)
-        outs[4 * pi + 3][...] = count[0]
+        outs[no * pi][...] = jnp.concatenate(src_out, axis=0)
+        outs[no * pi + 1][...] = jnp.concatenate(pid_out, axis=0)
+        if r0 is None:
+            rad_out = [jnp.where(interior, rq, 0.0) for rq in rad_out]
+            outs[no * pi + 2][...] = jnp.concatenate(rad_out, axis=0)
+        outs[no * pi + no - 1][...] = count[0]
 
 
 def _specs(cap: int, DYp: int, DX: int):
@@ -237,68 +246,85 @@ def _specs(cap: int, DYp: int, DX: int):
     return nb, spec3, spec1
 
 
+def _rank_r0(config: SimConfig):
+    """Uniform-radius constant for the GS kernels, or None.  Rides the
+    engine-validated SimConfig.tiled_uniform_radius premise (TiledEngine
+    checks the actual radii at init/spawn and auto-falls-back)."""
+    return (config.initial_radius if config.tiled_uniform_radius
+            else None)
+
+
 def rank_parity(subs, one, config: SimConfig, cap: int, K: int, t: float,
                 gTY: int, gTX: int):
     """Per-parity occupancy tables: {parity: (src, rpid, rrad)} plus the
-    summed overflow (count > K) — same accounting as _rank_full."""
+    summed overflow (count > K) — same accounting as _rank_full.  Under
+    tiled_uniform_radius rrad is None (the solve uses the constant)."""
     impl = config.gs_rank
     if impl == "auto":
         impl = "net"  # hardware-verified (scripts/tpu_probe_gsrank.py)
+    r0 = _rank_r0(config)
+    fields = ("x", "y", "pid") if r0 is not None else ("x", "y", "r",
+                                                       "pid")
+    nf = len(fields)
     DYp, DX = subs["x"][(0, 0)].shape[1:]
     nb, spec3, spec1 = _specs(cap, DYp, DX)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    tbl_specs = [spec1(K)] * 2 + ([] if r0 is not None else [spec1(K)])
+    tbl_shapes = ([_sds((K, DYp, DX), jnp.int32),
+                   _sds((K, DYp, DX), jnp.int32)]
+                  + ([] if r0 is not None
+                     else [_sds((K, DYp, DX), jnp.float32)]))
+    no = len(tbl_specs) + 1
 
     if _fused(config):
         cnt_spec = pl.BlockSpec((BAND, DX), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
             partial(_rank_kernel_par_all, cap=cap, K=K, t=t, impl=impl,
-                    gTY=gTY, gTX=gTX),
+                    gTY=gTY, gTX=gTX, r0=r0),
             grid=(nb,),
-            in_specs=[smem] + [s for _ in range(4) for p in _PARS
+            in_specs=[smem] + [s for _ in range(nf) for p in _PARS
                                for s in spec3(cap)],
-            out_specs=tuple([spec1(K)] * 3 + [cnt_spec]) * 4,
+            out_specs=tuple(tbl_specs + [cnt_spec]) * 4,
             out_shape=tuple(
-                [_sds((K, DYp, DX), jnp.int32),
-                 _sds((K, DYp, DX), jnp.int32),
-                 _sds((K, DYp, DX), jnp.float32),
-                 _sds((DYp, DX), jnp.int32)] * 4),
+                (tbl_shapes + [_sds((DYp, DX), jnp.int32)]) * 4),
             compiler_params=_VMEM,
             interpret=_interpret(),
         )(one,
-          *[subs[n][p] for n in ("x", "y", "r", "pid")
+          *[subs[n][p] for n in fields
             for p in _PARS for _ in range(3)])
         tables = {}
         overflow = jnp.int32(0)
         for pi, p in enumerate(_PARS):
-            src, rpid, rrad, count = outs[4 * pi:4 * pi + 4]
-            tables[p] = (src, rpid, rrad)
-            overflow = overflow + jnp.sum(jnp.maximum(count - K, 0))
+            row = outs[no * pi:no * pi + no]
+            tables[p] = ((row[0], row[1], None) if r0 is not None
+                         else (row[0], row[1], row[2]))
+            overflow = overflow + jnp.sum(
+                jnp.maximum(row[no - 1] - K, 0))
         return tables, overflow
 
     tables = {}
     overflow = jnp.int32(0)
     for (pa, pb) in _PARS:
-        src, rpid, rrad, count = pl.pallas_call(
+        row = pl.pallas_call(
             partial(_rank_kernel_par, cap=cap, K=K, t=t, impl=impl,
-                    pa=pa, pb=pb, gTY=gTY, gTX=gTX),
+                    pa=pa, pb=pb, gTY=gTY, gTX=gTX, r0=r0),
             grid=(nb,),
-            in_specs=[smem] + [s for _ in range(4) for p in _PARS
+            in_specs=[smem] + [s for _ in range(nf) for p in _PARS
                                for s in spec3(cap)],
-            out_specs=(spec1(K),) * 3 + (
+            out_specs=tuple(tbl_specs) + (
                 pl.BlockSpec((BAND, DX), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),),
-            out_shape=(_sds((K, DYp, DX), jnp.int32),
-                       _sds((K, DYp, DX), jnp.int32),
-                       _sds((K, DYp, DX), jnp.float32),
-                       _sds((DYp, DX), jnp.int32)),
+            out_shape=tuple(tbl_shapes + [_sds((DYp, DX), jnp.int32)]),
             compiler_params=_VMEM,
             interpret=_interpret(),
         )(one,
-          *[subs[n][p] for n in ("x", "y", "r", "pid")
+          *[subs[n][p] for n in fields
             for p in _PARS for _ in range(3)])
-        tables[(pa, pb)] = (src, rpid, rrad)
-        overflow = overflow + jnp.sum(jnp.maximum(count - K, 0))
+        tables[(pa, pb)] = ((row[0], row[1], None) if r0 is not None
+                            else (row[0], row[1], row[2]))
+        overflow = overflow + jnp.sum(jnp.maximum(row[no - 1] - K, 0))
     return tables, overflow
 
 
@@ -312,6 +338,7 @@ def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
     space; returns (updated subs, overflow delta).  Color loop mirrors
     gs_solve_pallas_mx exactly (same kernels, same order)."""
     tables, overflow = rank_parity(subs, one, config, cap, K, t, gTY, gTX)
+    r0 = _rank_r0(config)
     DYp, DX = subs["x"][(0, 0)].shape[1:]
     nb, spec3, spec1 = _specs(cap, DYp, DX)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -322,13 +349,14 @@ def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
     for color in (1, 2, 3, 4):
         ac, bc = _mx_parity(color)
         src, rpid, rrad = tables[(ac, bc)]
+        tbl_args = (src, rpid) if r0 is not None else (src, rpid, rrad)
         ux, uy = pl.pallas_call(
             partial(_solve_dec_kernel, cap=cap, K=K, ac=ac, bc=bc,
-                    stiffness=config.stiffness),
+                    stiffness=config.stiffness, r0=r0),
             grid=(nb,),
             in_specs=([smem] + [s for p in _PARS for s in spec3(cap)]
                       + [s for p in _PARS for s in spec3(cap)]
-                      + [spec1(K)] * 3),
+                      + [spec1(K)] * len(tbl_args)),
             out_specs=(spec1(K), spec1(K)),
             out_shape=(_sds((K, DYp, DX), jnp.float32),
                        _sds((K, DYp, DX), jnp.float32)),
@@ -337,7 +365,7 @@ def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
         )(one,
           *[b for p in _PARS for b in (xs[p], xs[p], xs[p])],
           *[b for p in _PARS for b in (ys[p], ys[p], ys[p])],
-          src, rpid, rrad)
+          *tbl_args)
 
         new = pl.pallas_call(
             partial(_apply_dec_kernel, cap=cap, K=K, ac=ac, bc=bc),
