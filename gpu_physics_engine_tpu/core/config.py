@@ -243,6 +243,22 @@ class SimConfig:
     # TiledEngine validates this at init and auto-falls-back to the
     # general kernel when a spawn inserts a different radius into tiles.
     tiled_uniform_radius: bool = False
+    # storage-jam watchdog (DESIGN.md §9): at every run() boundary the
+    # engine fetches the stale-pair population (>= 2-tile storage
+    # displacement, ops/tiled.stale_pair_fraction — the class that can
+    # MISS collisions; the >= 1 displaced class includes benign one-hop
+    # relocate lag and hysteresis dancers and legitimately reaches tens
+    # of %% on fast small-tile scenes).  On sustained growth past
+    # tiled_watchdog_pct it escalates mitigation — forced exact sweep ->
+    # hysteresis off -> +1 slot capacity — and counts a warning
+    # (TiledEngine.watchdog_events).  An off-table world/density now
+    # degrades LOUDLY and self-stabilizes instead of silently
+    # avalanching (the reference contrast: it silently drops pairs past
+    # K=6, grid.wgsl membership).  Costs one jitted reduction + scalar
+    # fetch per run() call.  Healthy production scenes measure
+    # <= 0.4%% stale (BENCH curve); the default bound leaves 5x margin.
+    tiled_watchdog: bool = True
+    tiled_watchdog_pct: float = 2.0
     # pull-relocate slot matching:
     #   "flip"   — free slot k pulls the neighbor's slot cap-1-k mover:
     #              one chance/mover/step, cheapest.

@@ -75,6 +75,10 @@ class TiledEngine:
         self.big = None  # ops/bigs.py overlay, created on oversized spawn
         self._next_pid = int(self.state.num_active)
         self._steps_done = 0
+        # storage-jam watchdog (config.tiled_watchdog, DESIGN.md §9)
+        self.watchdog_events = 0
+        self._wd_level = 0      # monotonic escalation within this engine
+        self._wd_prev = None    # displaced pct at the previous boundary
         self._build_compiled()
         self.timer = FrameTimer().start()
         self.mouse_pos: Tuple[float, float] = (0.0, 0.0)
@@ -203,8 +207,130 @@ class TiledEngine:
             donate_argnums=0) if iv > 1 else None
         self._reloc_iv = iv
         self._since_reloc = iv - 1  # force a relocate on the first step
+        self._frame_chunks = {}
+        self._gs_par = gs_par
+        self._stale_frac = jax.jit(
+            lambda s: tiled.stale_pair_fraction(s, config))
         if self.big is not None:
             self._build_hybrid()
+
+    def _watchdog(self):
+        """Storage-jam self-defense (config.tiled_watchdog): detect a
+        growing stale-pair population (>= 2-tile storage displacement —
+        the collision-missing class; benign one-hop lag and hysteresis
+        dancers never reach it) at run() boundaries and escalate
+        mitigation — forced exact sweep, then hysteresis off, then +1
+        slot capacity (repeatable).  DESIGN.md §9: the jam's signature
+        is unbounded deferred-population growth; every mitigation level
+        attacks a measured cause (sweep drains the backlog, hysteresis
+        feeds it, capacity bounds the equilibrium).  Loud on purpose:
+        each escalation prints and increments ``watchdog_events``."""
+        cfg = self.config
+        if not cfg.tiled_watchdog:
+            return
+        pct = float(self._stale_frac(self.state)) * 100.0
+        prev, self._wd_prev = self._wd_prev, pct
+        bound = cfg.tiled_watchdog_pct
+        if pct <= bound:
+            return  # healthy
+        if prev is None:
+            return  # first boundary: no slope yet
+        if pct <= max(prev * 1.25, prev + 0.2):
+            return  # high but not growing (a settled plateau is the
+                    # user's geometry choice, not a jam)
+        self.watchdog_events += 1
+        self._wd_level = min(self._wd_level + 1, 3)
+        act = {1: "forced exact sweep",
+               2: "hysteresis off",
+               3: f"tile_cap {cfg.tile_cap} -> {cfg.tile_cap + 1}"}[
+                   self._wd_level]
+        print(f"[tiled][watchdog] stale-pair population {pct:.2f}% > "
+              f"{bound}% and growing (was {prev:.2f}%): {act}")
+        if self._wd_level >= 2 and cfg.hysteresis_delta > 0.0:
+            self.config = self.config.replace(tiled_hysteresis=0.0)
+            self._build_compiled()
+        if self._wd_level >= 3:
+            self._retile_cap(self.config.tile_cap + 1)
+            self._wd_level = 2  # cap growth is repeatable
+        # every level drains the backlog with the exact sweep so the
+        # next boundary measures the mitigated config, not the backlog
+        self.state = self._sweep(self.state, self._sweep_off())
+        self._since_reloc = 0
+        self._wd_prev = float(self._stale_frac(self.state)) * 100.0
+
+    def _frame_chunk_of(self, k: int, width: int, height: int):
+        """Scanned window of k frames where each frame = one sim step +
+        the device compositor (render/device.py) — the reference's
+        actual per-frame loop (state.rs:115-140 submits sim AND render
+        every frame).  Frames reduce to a checksum inside the program:
+        the tunnel cannot stream 60 x 2.7 MB/s anyway, and the metric is
+        the chip's sim+render cost, not the download."""
+        key = (k, width, height)
+        if key in self._frame_chunks:
+            return self._frame_chunks[key]
+        config = self.config
+        iv = self._reloc_iv
+        from gpu_physics_engine_tpu.render.device import (_render_core,
+                                                          autofit_rect)
+        rect = jnp.asarray(autofit_rect(config, width, height),
+                           jnp.float32)
+
+        def _frame(s, p, a):
+            img = _render_core(s.x, s.y, s.px, s.py, s.radius, s.pid,
+                               rect, config, width, height)
+            return a + img[0, 0, 0].astype(jnp.int32)
+
+        def _fgroup(carry, p, m):
+            s, a = carry
+            for j in range(m):
+                s = tiled.tiled_step_fn(s, p, config, do_relocate=(j == 0))
+                a = _frame(s, p, a)
+            return s, a
+
+        def _chunk(carry, p):
+            full, rem = divmod(k, iv)
+            if full:
+                carry = jax.lax.scan(
+                    lambda c, _: (_fgroup(c, p, iv), None),
+                    carry, None, length=full)[0]
+            if rem:
+                carry = _fgroup(carry, p, rem)
+            return carry
+
+        self._frame_chunks[key] = jax.jit(_chunk, donate_argnums=0)
+        return self._frame_chunks[key]
+
+    def render_run(self, n_steps: int, width: int = 1280,
+                   height: int = 720) -> int:
+        """run() with the device render fused after EVERY step — the
+        reference's published frame loop (sim + render per frame).
+        Returns the window's frame checksum (fetching it is the honest
+        device sync).  Big-overlay scenes and the parity-GS chunk are
+        not supported here (bench scenes have neither)."""
+        if self.big is not None or self._gs_par:
+            raise NotImplementedError(
+                "render_run covers the production tiled path")
+        p = self.params()
+        interval = self._sweep_interval
+        acc = jnp.int32(0)
+        done = 0
+        while done < n_steps:
+            if (interval and self._steps_done
+                    and self._steps_done % interval == 0):
+                self.state = self._sweep(self.state, self._sweep_off())
+                self._since_reloc = 0
+            bound = n_steps - done
+            if interval:
+                bound = min(bound, interval - self._steps_done % interval
+                            if self._steps_done % interval else interval)
+            took = min(bound, self.CHUNK)
+            self.state, acc = self._frame_chunk_of(
+                took, width, height)((self.state, acc), p)
+            self._since_reloc = ((took - 1) % self._reloc_iv
+                                 if self._reloc_iv > 1 else 0)
+            self._steps_done += took
+            done += took
+        return int(acc)
 
     def _build_hybrid(self):
         """Compiled step/chunk over (tiles, bigs) — built when the first
@@ -421,6 +547,7 @@ class TiledEngine:
                 jax.block_until_ready(self.state.x)
             self.timer.get_delta(frames=took)
         self._maybe_grow_cap(n_steps, of_before)
+        self._watchdog()
         return self.state
 
     # ---- interaction ----

@@ -286,6 +286,27 @@ def stale_pair_fraction(state: TileState, config: SimConfig):
     return stale.astype(jnp.float32) / jnp.maximum(state.num_active, 1)
 
 
+def displaced_fraction(state: TileState, config: SimConfig):
+    """Fraction of particles stored >= 1 tile from their home tile — the
+    deferred POPULATION the storage-jam watchdog tracks (DESIGN.md §9:
+    at a jam-prone geometry this grows without bound long-horizon; at a
+    healthy one it plateaus at the hysteresis-dancer level).  Unlike the
+    overflow_count event counter this is an absolute occupancy of the
+    displaced class, so a watchdog can compare it across windows without
+    integrating rates.  Jittable; returns an f32 scalar."""
+    t, TY, TX = tile_geometry(config)
+    occ = state.occupied()
+    ty_now = jax.lax.broadcasted_iota(_I32, state.x.shape, 1)
+    tx_now = jax.lax.broadcasted_iota(_I32, state.x.shape, 2)
+    tyw = jnp.clip(jnp.floor(state.y / jnp.float32(t)).astype(_I32) + 1,
+                   1, TY - 2)
+    txw = jnp.clip(jnp.floor(state.x / jnp.float32(t)).astype(_I32) + 1,
+                   1, TX - 2)
+    d = jnp.maximum(jnp.abs(tyw - ty_now), jnp.abs(txw - tx_now))
+    disp = jnp.sum((d >= 1) & occ)
+    return disp.astype(jnp.float32) / jnp.maximum(state.num_active, 1)
+
+
 def export_particles(state: TileState):
     """Host download: (pid, positions, previous_positions, radii) of live
     slots, sorted by pid (the GpuBuffer::download analog)."""
