@@ -158,6 +158,35 @@ def measure_render(eng):
     return dev_ms, (time.perf_counter() - t0) / 3 * 1e3
 
 
+def measure_gs(n: int) -> dict:
+    """Reference-EXACT Gauss-Seidel semantics (tiled_solver="gs",
+    collision_solver.wgsl:26-118 ordered sweeps) at the round-3 tuned
+    GS geometry.  The GS grid is world-fixed (2.65M cells), so cost is
+    ~flat in n — see PERF.md "GS reference semantics: the full curve".
+    cap is storage only (cap/K6 bit-exact vs cap5/K6, probe capk);
+    K=6 is the reference's drop semantics and not narrowable."""
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    from gpu_physics_engine_tpu.core.tuned import GS_TUNED
+    cap, match = GS_TUNED(n)
+    cfg = SimConfig(max_particles=n, initial_particles=n,
+                    pipeline="tiled", tiled_solver="gs",
+                    tile_multiplier=2.2, tile_cap=cap, max_occupancy=6,
+                    tiled_uniform_radius=True, tiled_match=match)
+    eng = TiledEngine(cfg, seed=0, chunk=64)
+    eng.run(288)  # settles past the first 240-step sweep compile
+    float(eng.state.x[0, 0, 0])
+    ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.run(240)
+        float(eng.state.x[0, 0, 0])
+        ms = min(ms, (time.perf_counter() - t0) / 240 * 1e3)
+    del eng
+    return {"ms_per_step": round(ms, 3), "cap": cap,
+            "vs_baseline": round(BASELINE_MS[n] / ms, 3)}
+
+
 def measure_substeps2() -> float:
     """The BASELINE config-4 scene (four_million: substeps=2)."""
     from gpu_physics_engine_tpu import SimConfig
@@ -247,6 +276,15 @@ def main():
             detail["substeps2_4m_ms"] = round(measure_substeps2(), 3)
         except Exception as e:
             detail["substeps2_4m_ms"] = f"error: {type(e).__name__}"[:80]
+    # reference-exact GS rows (flat in n — PERF.md has the full curve;
+    # the two poles anchor the BENCH record)
+    for gs_n, key in ((1_048_576, "gs_1m"), (4_194_304, "gs_4m")):
+        if time.time() - t_start > soft_deadline_s:
+            break
+        try:
+            detail[key] = measure_gs(gs_n)
+        except Exception as e:
+            detail[key] = {"error": f"{type(e).__name__}: {e}"[:120]}
 
     ms_4m = detail.get(str(4_194_304), {}).get("ms_per_step")
     out = {

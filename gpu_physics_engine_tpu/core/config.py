@@ -212,6 +212,14 @@ class SimConfig:
     # fused on real TPU, unfused elsewhere (the fused kernels' 4x-bigger
     # programs hit CPU interpret's superlinear compile).
     gs_par_fused: Optional[bool] = None
+    # gs_layout="par": fuse each substep's Verlet integration into the
+    # color-4 apply (ops/gs_parity._apply_integrate_dec_kernel) —
+    # deletes the separate integrate pass (~1.0 ms @1M, phase profile
+    # in scripts/tpu_probe_gs_phase2.py) for the price of px/py mid
+    # reads+writes in that apply.  Requires tiled_uniform_radius and a
+    # box world (auto-falls-back otherwise).  None = follow
+    # gs_par_fused's resolution (fused on real TPU only).
+    gs_fuse_integrate: Optional[bool] = None
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
     # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover

@@ -43,7 +43,13 @@ TUNED_TILE_GEOMETRY = {
     756_000: (4.4, 5, 32, "greedy", 4),     # 1.172 ms 2.16x @0.69% (iv4)
     1_048_576: (4.4, 6, 32, "greedy", 4),   # 1.554 ms 2.36x @0.49% (iv3)
     2_000_000: (4.4, 6, 16, "greedy", 4),   # 1.561 ms 5.39x @0.86% (iv3)
-    3_000_000: (3.3, 6, 16, "greedy", 4),   # 2.863 ms 5.46x @0.19% (iv3)
+    # 3M re-tuned round 3 (scripts/tpu_probe_horizon20k.py
+    # 3m_alt_mult44): 1.83 ms = 8.5x at 21k-step stability — stale-pair
+    # DECLINES 1.37% -> 0.24% while deferred population holds ~3.9%
+    # (dancers + clustering latency, not a jam; the old (3.3, 6) pick
+    # measures 3.14 ms @0.0015% stale if quality-maximal is wanted)
+    3_000_000: (4.4, 6, 16, "greedy", 4),
+
     # 4M: the ONLY long-horizon-stable config class at this density
     # (103% nominal fill): cap8 + iv2 + hysteresis OFF (TUNED_OVERRIDES).
     # Faster configs (cap6 iv2 3.85 ms = 5.9x; cap7 iv2 5.0 ms = 4.5x)
@@ -67,6 +73,28 @@ TUNED_TILE_GEOMETRY = {
 TUNED_OVERRIDES = {
     4_194_304: dict(tiled_hysteresis=0.0),
 }
+
+
+# Reference-exact GS storage cap per size (round-3 probes
+# tpu_probe_gs_curve/gs_opt): cap = measured settled occ_max + 1
+# headroom.  cap is STORAGE only — cap4/K6 is bit-exact vs cap5/K6
+# (capk xcheck dx=dy=0, overflow 0); K stays 6 (the reference's
+# drop-past-6 membership is engaged from 256k up and IS the
+# semantics).  Cost scales with cap (11.0 -> 8.7 ms @1M for 5 -> 4).
+_GS_CAP = {100_000: 3, 256_000: 4, 512_000: 4, 756_000: 4,
+           1_048_576: 4, 2_000_000: 5, 3_000_000: 6, 4_194_304: 6}
+# 4M cap6: zero refused inserts at init, occ_max exactly 6, 13.69 ms =
+# 1.66x baseline (tpu_probe_gs_opt.jsonl 4m_init/4m_time)
+
+
+def GS_TUNED(n_particles: int):
+    """(tile_cap, tiled_match) for the reference-exact GS solver at
+    this size.  flip matching is bit-exact for GS relocation
+    (tpu_probe_gs_opt flip_xcheck dx=dy=0) and cheaper than flip2."""
+    sizes = sorted(_GS_CAP)
+    best = min(sizes, key=lambda s: abs(s / n_particles - 1.0)
+               + abs(n_particles / s - 1.0))
+    return _GS_CAP[best], "auto"
 
 
 def tuned_overrides(n_particles: int) -> dict:

@@ -75,6 +75,20 @@ _F = ("x", "y", "px", "py", "r", "pid")
 _FILL = {"x": 0.0, "y": 0.0, "px": 0.0, "py": 0.0, "r": 0.0, "pid": -1}
 
 
+def _flds(config: SimConfig):
+    """Parity-space field tuple.  Under tiled_uniform_radius the radius
+    planes are DROPPED from parity space entirely: rank/solve use the
+    compile-time r0, integrate rebuilds where(pid>=0, r0, 0) on the
+    fly, and from_parity reconstructs the full-space plane the same way
+    — bit-identical to carrying it, because the relocate apply's final
+    compaction zero-fills every dead slot (tiled_pallas._apply_merge),
+    so the stored plane IS that expression.  Saves the radius march
+    through the per-step relocate (one 3x-amplified read + one write of
+    cap planes per parity)."""
+    return (("x", "y", "px", "py", "pid")
+            if config.tiled_uniform_radius else _F)
+
+
 # ---------------------------------------------------------------------------
 # full-space <-> parity-space conversion (chunk boundaries only)
 # ---------------------------------------------------------------------------
@@ -89,7 +103,7 @@ def to_parity(state: TileState, config: SimConfig):
     arrs = dict(x=state.x, y=state.y, px=state.px, py=state.py,
                 r=state.radius, pid=state.pid)
     subs = {n: _mx_decompose(arrs[n], TY, TX, _FILL[n], Ey, Ex, split=sp)
-            for n in _F}
+            for n in _flds(config)}
     return subs, state.num_active, state.overflow_count
 
 
@@ -103,7 +117,11 @@ def from_parity(carry, template: TileState, config: SimConfig) -> TileState:
     out = {n: _mx_recompose(subs[n], TY, TX, template.pid.dtype
                             if n == "pid" else jnp.float32, Ey, Ex,
                             split=sp)
-           for n in _F}
+           for n in _flds(config)}
+    if "r" not in out:  # uniform: reconstruct (see _flds)
+        out["r"] = jnp.where(out["pid"] >= 0,
+                             jnp.float32(config.initial_radius),
+                             jnp.float32(0.0))
     return dataclasses.replace(
         template, x=out["x"], y=out["y"], px=out["px"], py=out["py"],
         radius=out["r"], pid=out["pid"], num_active=num_active,
@@ -332,13 +350,100 @@ def rank_parity(subs, one, config: SimConfig, cap: int, K: int, t: float,
 # color solve/apply (existing dec kernels, no relayout around)
 # ---------------------------------------------------------------------------
 
+def _apply_integrate_dec_kernel(par_ref, *refs, cap: int, K: int, ac: int,
+                                bc: int, config: SimConfig,
+                                dt_scale: float, r0: float):
+    """Color-4 apply with the substep's Verlet integration fused in
+    (uniform-radius, box world): the apply already holds every
+    particle's post-solve position in registers, so integrating here
+    deletes the separate integrate pass (read x/y/px/py + write 4
+    planes, ~1.0 ms @1M) for the price of px/py mid reads+writes.
+    Math replicates ops/tiled.integrate's exact op order
+    (particle_integration.wgsl:24-77 semantics).
+
+    par_ref (SMEM, f32[4]) = [dt, mouse_x, mouse_y, mouse_pressed] —
+    traced, so mouse/dt changes never recompile.
+    refs: ux(3), uy(3), rpid(3); per parity x, y, px, py, pid mids;
+    outs: per parity x, y, px, py."""
+    uxr = _rows3(*(r[...] for r in refs[0:3]))
+    uyr = _rows3(*(r[...] for r in refs[3:6]))
+    rpr = _rows3(*(r[...] for r in refs[6:9]))
+    mids = {p: tuple(refs[9 + 5 * i + j][...] for j in range(5))
+            for i, p in enumerate(_PARS)}
+    outs = refs[9 + 20:]
+
+    dt = par_ref[0] * jnp.float32(dt_scale)
+    dt2 = dt * dt
+    mx, my = par_ref[1], par_ref[2]
+    strength = jnp.float32(config.mouse_strength) * par_ref[3]
+    gx = jnp.float32(config.gravity[0])
+    gy = jnp.float32(config.gravity[1])
+    r0c = jnp.float32(r0)
+    wxc = jnp.float32(config.world_width) - r0c
+    wyc = jnp.float32(config.world_height) - r0c
+
+    for i, (pa, pb) in enumerate(_PARS):
+        x_mid, y_mid, px_mid, py_mid, pid_mid = mids[(pa, pb)]
+        dys = [0] if pa == ac else [-1, 1]
+        dxs = [0] if pb == bc else [-1, 1]
+        cells = []
+        for dy in dys:
+            for dx in dxs:
+                oy = _dec_off(pa, dy, ac)
+                ox = _dec_off(pb, dx, bc)
+                cells.append((_lane(uxr[oy + 1], ox),
+                              _lane(uyr[oy + 1], ox),
+                              _lane(rpr[oy + 1], ox)))
+        ox_l, oy_l, opx_l, opy_l = [], [], [], []
+        for k in range(cap):
+            mypid = pid_mid[k:k + 1]
+            occ = mypid >= 0
+            newx = x_mid[k:k + 1]
+            newy = y_mid[k:k + 1]
+            for ux_c, uy_c, rp_c in cells:
+                for q in range(K):
+                    hit = occ & (rp_c[q:q + 1] == mypid)
+                    newx = jnp.where(hit, ux_c[q:q + 1], newx)
+                    newy = jnp.where(hit, uy_c[q:q + 1], newy)
+            # --- fused Verlet (ops/tiled.integrate op order) ---
+            pxk = px_mid[k:k + 1]
+            pyk = py_mid[k:k + 1]
+            vel_x = newx - pxk
+            vel_y = newy - pyk
+            dxm = mx - newx
+            dym = my - newy
+            dist = jnp.sqrt(dxm * dxm + dym * dym)
+            inv = jnp.where(dist > 1e-6,
+                            1.0 / jnp.maximum(dist, 1e-6), 0.0)
+            axk = gx + dxm * inv * strength
+            ayk = gy + dym * inv * strength
+            nx = newx + vel_x + axk * dt2
+            ny = newy + vel_y + ayk * dt2
+            nx = jnp.clip(nx, r0c, wxc)
+            ny = jnp.clip(ny, r0c, wyc)
+            ox_l.append(jnp.where(occ, nx, newx))
+            oy_l.append(jnp.where(occ, ny, newy))
+            opx_l.append(jnp.where(occ, newx, pxk))
+            opy_l.append(jnp.where(occ, newy, pyk))
+        outs[4 * i][...] = jnp.concatenate(ox_l, axis=0)
+        outs[4 * i + 1][...] = jnp.concatenate(oy_l, axis=0)
+        outs[4 * i + 2][...] = jnp.concatenate(opx_l, axis=0)
+        outs[4 * i + 3][...] = jnp.concatenate(opy_l, axis=0)
+
 def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
-                 t: float, gTY: int, gTX: int):
+                 t: float, gTY: int, gTX: int, integ=None):
     """One full GS solve (rank + 4 ordered color passes) in parity
     space; returns (updated subs, overflow delta).  Color loop mirrors
-    gs_solve_pallas_mx exactly (same kernels, same order)."""
+    gs_solve_pallas_mx exactly (same kernels, same order).
+
+    ``integ`` = (StepParams, dt_scale) fuses this substep's Verlet
+    integration into the color-4 apply (_apply_integrate_dec_kernel) —
+    uniform-radius + box world only; the caller skips
+    integrate_parity."""
     tables, overflow = rank_parity(subs, one, config, cap, K, t, gTY, gTX)
     r0 = _rank_r0(config)
+    assert integ is None or (r0 is not None
+                             and config.world_shape == "box")
     DYp, DX = subs["x"][(0, 0)].shape[1:]
     nb, spec3, spec1 = _specs(cap, DYp, DX)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -346,6 +451,7 @@ def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
     xs = dict(subs["x"])
     ys = dict(subs["y"])
     ps = subs["pid"]
+    out = dict(subs)
     for color in (1, 2, 3, 4):
         ac, bc = _mx_parity(color)
         src, rpid, rrad = tables[(ac, bc)]
@@ -367,6 +473,36 @@ def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
           *[b for p in _PARS for b in (ys[p], ys[p], ys[p])],
           *tbl_args)
 
+        if color == 4 and integ is not None:
+            params, dt_scale = integ
+            pvec = jnp.stack([params.dt, params.mouse_x, params.mouse_y,
+                              params.mouse_pressed]).astype(jnp.float32)
+            pxs, pys = subs["px"], subs["py"]
+            new = pl.pallas_call(
+                partial(_apply_integrate_dec_kernel, cap=cap, K=K,
+                        ac=ac, bc=bc, config=config, dt_scale=dt_scale,
+                        r0=r0),
+                grid=(nb,),
+                in_specs=([smem] + spec3(K) + spec3(K) + spec3(K)
+                          + [spec1(cap)] * 20),
+                out_specs=tuple([spec1(cap)] * 16),
+                out_shape=tuple(_sds((cap, DYp, DX), jnp.float32)
+                                for _ in range(16)),
+                compiler_params=_VMEM,
+                interpret=_interpret(),
+            )(pvec, ux, ux, ux, uy, uy, uy, rpid, rpid, rpid,
+              *[b for p in _PARS
+                for b in (xs[p], ys[p], pxs[p], pys[p], ps[p])])
+            npx, npy = {}, {}
+            for i, p in enumerate(_PARS):
+                xs[p] = new[4 * i]
+                ys[p] = new[4 * i + 1]
+                npx[p] = new[4 * i + 2]
+                npy[p] = new[4 * i + 3]
+            out["px"] = npx
+            out["py"] = npy
+            break
+
         new = pl.pallas_call(
             partial(_apply_dec_kernel, cap=cap, K=K, ac=ac, bc=bc),
             grid=(nb,),
@@ -383,7 +519,6 @@ def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
             xs[p] = new[2 * i]
             ys[p] = new[2 * i + 1]
 
-    out = dict(subs)
     out["x"] = xs
     out["y"] = ys
     return out, overflow
@@ -428,18 +563,19 @@ def _plan_kernel_par(*refs, cap: int, t: float, gTY: int, gTX: int,
 
 
 def _apply_kernel_par(*refs, cap: int, t: float, gTY: int, gTX: int,
-                      match: str, delta: float, pa: int, pb: int):
-    # refs: x, y, px, py, r, pid, plan; each 4 parities x (up, mid, dn);
-    # then outs: 6 fields + defer
+                      match: str, delta: float, pa: int, pb: int,
+                      flds=_F):
+    # refs: the parity-space fields (x, y, px, py, [r,] pid), plan; each
+    # 4 parities x (up, mid, dn); then outs: len(flds) fields + defer
     rows = {}
-    for f, n in enumerate(_F + ("plan",)):
+    for f, n in enumerate(flds + ("plan",)):
         base = 12 * f
         rows[n] = {p: _rows3(*(r[...] for r in
                                refs[base + 3 * i:base + 3 * i + 3]))
                    for i, p in enumerate(_PARS)}
-    outs = refs[84:]
+    outs = refs[12 * (len(flds) + 1):]
 
-    my = {n: rows[n][(pa, pb)][1] for n in _F + ("plan",)}
+    my = {n: rows[n][(pa, pb)][1] for n in flds + ("plan",)}
     ty, tx = _coords(refs[1], pa, pb)
 
     # per-slot one-hop step targets of my occupants (same expression as
@@ -457,16 +593,17 @@ def _apply_kernel_par(*refs, cap: int, t: float, gTY: int, gTX: int,
                       & ((dty[k] != 0) | (dtx[k] != 0)))
 
     pviews = {n: _par_views(rows[n], pa, pb, _NEIGHBORS)
-              for n in _F + ("plan",)}
-    nbr_views = [({n: pviews[n][e] for n in _F}, pviews["plan"][e], ey, ex)
+              for n in flds + ("plan",)}
+    nbr_views = [({n: pviews[n][e] for n in flds}, pviews["plan"][e],
+                  ey, ex)
                  for e, (ey, ex) in enumerate(_NEIGHBORS)]
-    mids = {n: my[n] for n in _F + ("plan",)}
+    mids = {n: my[n] for n in flds + ("plan",)}
     out, defer = _apply_merge(mids, nbr_views, moving, dty, dtx,
-                              cap=cap, match=match)
+                              cap=cap, match=match, fields=flds)
 
-    for i, n in enumerate(_F):
+    for i, n in enumerate(flds):
         outs[i][...] = jnp.concatenate(out[n], axis=0)
-    outs[6][...] = defer[0]
+    outs[len(flds)][...] = defer[0]
 
 
 def _plan_kernel_par_all(*refs, cap: int, t: float, gTY: int, gTX: int,
@@ -504,19 +641,19 @@ def _plan_kernel_par_all(*refs, cap: int, t: float, gTY: int, gTX: int,
 
 
 def _apply_kernel_par_all(*refs, cap: int, t: float, gTY: int, gTX: int,
-                          match: str, delta: float):
+                          match: str, delta: float, flds=_F):
     """All four parities' relocate applies in one kernel pass; outputs
-    are parity-major (6 field planes + defer per parity)."""
+    are parity-major (len(flds) field planes + defer per parity)."""
     rows = {}
-    for f, n in enumerate(_F + ("plan",)):
+    for f, n in enumerate(flds + ("plan",)):
         base = 12 * f
         rows[n] = {p: _rows3(*(r[...] for r in
                                refs[base + 3 * i:base + 3 * i + 3]))
                    for i, p in enumerate(_PARS)}
-    outs = refs[84:]
+    outs = refs[12 * (len(flds) + 1):]
 
     for pi, (pa, pb) in enumerate(_PARS):
-        my = {n: rows[n][(pa, pb)][1] for n in _F + ("plan",)}
+        my = {n: rows[n][(pa, pb)][1] for n in flds + ("plan",)}
         ty, tx = _coords(refs[1], pa, pb)
         dty, dtx, moving = [], [], []
         for k in range(cap):
@@ -529,15 +666,16 @@ def _apply_kernel_par_all(*refs, cap: int, t: float, gTY: int, gTX: int,
             moving.append((my["pid"][k:k + 1] >= 0) & in_grid
                           & ((dty[k] != 0) | (dtx[k] != 0)))
         pviews = {n: _par_views(rows[n], pa, pb, _NEIGHBORS)
-                  for n in _F + ("plan",)}
-        nbr_views = [({n: pviews[n][e] for n in _F}, pviews["plan"][e],
+                  for n in flds + ("plan",)}
+        nbr_views = [({n: pviews[n][e] for n in flds}, pviews["plan"][e],
                       ey, ex)
                      for e, (ey, ex) in enumerate(_NEIGHBORS)]
         out, defer = _apply_merge(my, nbr_views, moving, dty, dtx,
-                                  cap=cap, match=match)
-        for i, n in enumerate(_F):
-            outs[7 * pi + i][...] = jnp.concatenate(out[n], axis=0)
-        outs[7 * pi + 6][...] = defer[0]
+                                  cap=cap, match=match, fields=flds)
+        no = len(flds) + 1
+        for i, n in enumerate(flds):
+            outs[no * pi + i][...] = jnp.concatenate(out[n], axis=0)
+        outs[no * pi + len(flds)][...] = defer[0]
 
 
 def relocate_parity(subs, config: SimConfig, cap: int, t: float,
@@ -551,8 +689,17 @@ def relocate_parity(subs, config: SimConfig, cap: int, t: float,
         # same auto rule as relocate_pallas, on the FULL grid dims
         match = "greedy" if (gTY * gTX <= 800_000 and cap <= 8) else "flip2"
     delta = config.hysteresis_delta
+    flds = _flds(config)
+    nf = len(flds)
     DYp, DX = subs["x"][(0, 0)].shape[1:]
     nb, spec3, spec1 = _specs(cap, DYp, DX)
+
+    def _out_shapes():
+        """len(flds) field planes (pid is int32) + the defer plane."""
+        return ([_sds((cap, DYp, DX),
+                      jnp.int32 if n == "pid" else jnp.float32)
+                 for n in flds]
+                + [_sds((DYp, DX), jnp.int32)])
 
     if _fused(config):
         plans4 = pl.pallas_call(
@@ -573,25 +720,23 @@ def relocate_parity(subs, config: SimConfig, cap: int, t: float,
                              memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
             partial(_apply_kernel_par_all, cap=cap, t=t, gTY=gTY,
-                    gTX=gTX, match=match, delta=delta),
+                    gTX=gTX, match=match, delta=delta, flds=flds),
             grid=(nb,),
-            in_specs=[s for _ in range(7) for p in _PARS
+            in_specs=[s for _ in range(nf + 1) for p in _PARS
                       for s in spec3(cap)],
-            out_specs=tuple([spec1(cap)] * 6 + [dspec]) * 4,
-            out_shape=tuple(
-                [_sds((cap, DYp, DX), jnp.float32)] * 5
-                + [_sds((cap, DYp, DX), jnp.int32),
-                   _sds((DYp, DX), jnp.int32)]) * 4,
+            out_specs=tuple([spec1(cap)] * nf + [dspec]) * 4,
+            out_shape=tuple(_out_shapes()) * 4,
             compiler_params=_VMEM,
             interpret=_interpret(),
         )(*[(subs[n] if n != "plan" else plans)[p]
-            for n in _F + ("plan",) for p in _PARS for _ in range(3)])
-        new_subs = {n: {} for n in _F}
+            for n in flds + ("plan",) for p in _PARS for _ in range(3)])
+        new_subs = {n: {} for n in flds}
         defer_total = jnp.int32(0)
+        no = nf + 1
         for pi, p in enumerate(_PARS):
-            for i, n in enumerate(_F):
-                new_subs[n][p] = outs[7 * pi + i]
-            defer_total = defer_total + jnp.sum(outs[7 * pi + 6])
+            for i, n in enumerate(flds):
+                new_subs[n][p] = outs[no * pi + i]
+            defer_total = defer_total + jnp.sum(outs[no * pi + nf])
         return new_subs, defer_total
 
     plans = {}
@@ -609,28 +754,26 @@ def relocate_parity(subs, config: SimConfig, cap: int, t: float,
         )(*[subs[n][p] for n in ("x", "y", "pid")
             for p in _PARS for _ in range(3)])
 
-    new_subs = {n: dict(subs[n]) for n in _F}
+    new_subs = {n: dict(subs[n]) for n in flds}
     defer_total = jnp.int32(0)
     for (pa, pb) in _PARS:
         outs = pl.pallas_call(
             partial(_apply_kernel_par, cap=cap, t=t, gTY=gTY, gTX=gTX,
-                    match=match, delta=delta, pa=pa, pb=pb),
+                    match=match, delta=delta, pa=pa, pb=pb, flds=flds),
             grid=(nb,),
-            in_specs=[s for _ in range(7) for p in _PARS
+            in_specs=[s for _ in range(nf + 1) for p in _PARS
                       for s in spec3(cap)],
-            out_specs=tuple([spec1(cap)] * 6) + (
+            out_specs=tuple([spec1(cap)] * nf) + (
                 pl.BlockSpec((BAND, DX), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),),
-            out_shape=tuple([_sds((cap, DYp, DX), jnp.float32)] * 5
-                            + [_sds((cap, DYp, DX), jnp.int32),
-                               _sds((DYp, DX), jnp.int32)]),
+            out_shape=tuple(_out_shapes()),
             compiler_params=_VMEM,
             interpret=_interpret(),
         )(*[(subs[n] if n != "plan" else plans)[p]
-            for n in _F + ("plan",) for p in _PARS for _ in range(3)])
-        for i, n in enumerate(_F):
+            for n in flds + ("plan",) for p in _PARS for _ in range(3)])
+        for i, n in enumerate(flds):
             new_subs[n][(pa, pb)] = outs[i]
-        defer_total = defer_total + jnp.sum(outs[6])
+        defer_total = defer_total + jnp.sum(outs[nf])
     return new_subs, defer_total
 
 
@@ -639,11 +782,18 @@ def relocate_parity(subs, config: SimConfig, cap: int, t: float,
 # ---------------------------------------------------------------------------
 
 def integrate_parity(subs, params, config: SimConfig, dt_scale: float):
-    out = {n: dict(subs[n]) for n in _F}
+    out = {n: dict(subs[n]) for n in subs}
     for p in _PARS:
+        # uniform (_flds drops "r"): rebuild the plane on the fly — the
+        # stored plane IS where(pid>=0, r0, 0) (see _flds), and the
+        # constraint result is discarded on unoccupied slots anyway
+        rad = (subs["r"][p] if "r" in subs
+               else jnp.where(subs["pid"][p] >= 0,
+                              jnp.float32(config.initial_radius),
+                              jnp.float32(0.0)))
         shim = TileState(
             x=subs["x"][p], y=subs["y"][p], px=subs["px"][p],
-            py=subs["py"][p], radius=subs["r"][p], pid=subs["pid"][p],
+            py=subs["py"][p], radius=rad, pid=subs["pid"][p],
             num_active=jnp.int32(0), overflow_count=jnp.int32(0))
         shim = integrate(shim, params, config, dt_scale=dt_scale)
         out["x"][p] = shim.x
@@ -670,13 +820,26 @@ def gs_parity_step_fn(carry, params, config: SimConfig,
         with jax.named_scope("relocate"):
             subs, defer = relocate_parity(subs, config, cap, t, TY, TX)
         overflow = overflow + defer
+    # fuse each substep's Verlet into its color-4 apply where legal
+    # (uniform radius + box world; gs_fuse_integrate overrides, None =
+    # follow the fused-kernel gate).  Deletes the integrate pass
+    # (~1.0 ms @1M, scripts/tpu_probe_gs_phase2.py).
+    fuse_int = (config.gs_fuse_integrate
+                if config.gs_fuse_integrate is not None
+                else _fused(config))
+    fuse_int = (fuse_int and _rank_r0(config) is not None
+                and config.world_shape == "box")
     for _ in range(config.substeps):
         with jax.named_scope("solve_collisions"):
-            subs, ovf = solve_parity(subs, one, config, cap, K, t, TY, TX)
+            subs, ovf = solve_parity(
+                subs, one, config, cap, K, t, TY, TX,
+                integ=((params, 1.0 / config.substeps)
+                       if fuse_int else None))
         overflow = overflow + ovf
-        with jax.named_scope("particle_integration"):
-            subs = integrate_parity(subs, params, config,
-                                    dt_scale=1.0 / config.substeps)
+        if not fuse_int:
+            with jax.named_scope("particle_integration"):
+                subs = integrate_parity(subs, params, config,
+                                        dt_scale=1.0 / config.substeps)
     return subs, num_active, overflow
 
 

@@ -829,15 +829,18 @@ def _relocate_apply_kernel(r0, xu, xm, xd, yu, ym, yd, pxu, pxm, pxd,
 
 
 def _apply_merge(mids, nbr_views, moving, dty, dtx, *, cap: int,
-                 match: str):
+                 match: str,
+                 fields=("x", "y", "px", "py", "r", "pid")):
     """Pull/vacate/recompact core of the relocate apply, over pre-built
     neighbor views: ``mids`` = {field: mid block} incl "plan",
     ``nbr_views`` = [(field views, plan view, ey, ex)] in _NEIGHBORS
     order, ``moving``/``dty``/``dtx`` = per-slot mover gates and step
     offsets (the caller computes them — flat uses slab-local row gates,
-    the parity driver in ops/gs_parity.py full-space coords).  Returns
-    (out field dict, defer counts)."""
-    FIELDS = ("x", "y", "px", "py", "r", "pid")
+    the parity driver in ops/gs_parity.py full-space coords).
+    ``fields`` may omit "r" (the uniform-radius parity layout
+    reconstructs it, ops/gs_parity._flds).  Returns (out field dict,
+    defer counts)."""
+    FIELDS = fields
     shape1 = mids["plan"][0:1].shape
     plan_mid = mids["plan"]
 
@@ -912,7 +915,7 @@ def _apply_merge(mids, nbr_views, moving, dty, dtx, *, cap: int,
         rank.append(running)
         running = running + occ_new[k].astype(jnp.int32)
     out = {n: [jnp.zeros(shape1, new[n][0].dtype) for _ in range(cap)]
-           for n in ("x", "y", "px", "py", "r")}
+           for n in FIELDS if n != "pid"}
     out["pid"] = [jnp.full(shape1, -1, jnp.int32) for _ in range(cap)]
     for k in range(cap):          # source slot
         for kd in range(k + 1):   # destination slot (rank can only drop)
