@@ -220,6 +220,14 @@ class SimConfig:
     # box world (auto-falls-back otherwise).  None = follow
     # gs_par_fused's resolution (fused on real TPU only).
     gs_fuse_integrate: Optional[bool] = None
+    # gs_layout="par": run all four ordered color passes in ONE
+    # DMA-windowed kernel (ops/gs_mega.py) instead of 4 solve + 4
+    # apply passes — the color passes are ~80% HBM-traffic-bound and
+    # the mega kernel reads each sub-grid once per block with an
+    # 8-sub-row halo.  Uniform-radius + TPU only; bit-exact vs the
+    # sequential loop (hardware xcheck, scripts/tpu_probe_gs_mega.py).
+    # Default off until the hardware verdict flips it.
+    gs_colors_mega: bool = False
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
     # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover

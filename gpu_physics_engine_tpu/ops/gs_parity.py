@@ -444,6 +444,14 @@ def solve_parity(subs, one, config: SimConfig, cap: int, K: int,
     r0 = _rank_r0(config)
     assert integ is None or (r0 is not None
                              and config.world_shape == "box")
+    if (config.gs_colors_mega and r0 is not None
+            and jax.default_backend() == "tpu"):
+        # all 4 ordered color passes in one DMA-windowed kernel
+        # (ops/gs_mega.py — bit-exact vs this loop on hardware,
+        # scripts/tpu_probe_gs_mega.py); TPU-only (window DMAs)
+        from gpu_physics_engine_tpu.ops.gs_mega import colors_mega
+        return colors_mega(subs, tables, one, config, cap, K,
+                           integ=integ), overflow
     DYp, DX = subs["x"][(0, 0)].shape[1:]
     nb, spec3, spec1 = _specs(cap, DYp, DX)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

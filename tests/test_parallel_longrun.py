@@ -41,7 +41,8 @@ def test_sharded_loaded_long_horizon_no_jam(mesh8):
                     world_width=W, world_height=H, initial_radius=0.5,
                     pipeline="tiled", tile_cap=8, tile_multiplier=3.3,
                     migration_capacity=256, halo_capacity=256)
-    eng = ShardedTiledEngine.from_arrays(cfg, pos, rad, mesh=mesh8)
+    eng = ShardedTiledEngine(cfg, mesh=mesh8,
+                             initial_arrays=(pos, rad, None, None))
 
     windows = 4
     per_window = 520  # > two 240-step sweep cycles each
