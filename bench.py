@@ -167,12 +167,13 @@ def measure_gs(n: int) -> dict:
     K=6 is the reference's drop semantics and not narrowable."""
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
-    from gpu_physics_engine_tpu.core.tuned import GS_TUNED
+    from gpu_physics_engine_tpu.core.tuned import GS_FLAGS, GS_TUNED
     cap, match = GS_TUNED(n)
     cfg = SimConfig(max_particles=n, initial_particles=n,
                     pipeline="tiled", tiled_solver="gs",
                     tile_multiplier=2.2, tile_cap=cap, max_occupancy=6,
-                    tiled_uniform_radius=True, tiled_match=match)
+                    tiled_uniform_radius=True, tiled_match=match,
+                    **GS_FLAGS)
     eng = TiledEngine(cfg, seed=0, chunk=64)
     eng.run(288)  # settles past the first 240-step sweep compile
     float(eng.state.x[0, 0, 0])

@@ -226,8 +226,25 @@ class SimConfig:
     # the mega kernel reads each sub-grid once per block with an
     # 8-sub-row halo.  Uniform-radius + TPU only; bit-exact vs the
     # sequential loop (hardware xcheck, scripts/tpu_probe_gs_mega.py).
-    # Default off until the hardware verdict flips it.
+    # MEASURED NEGATIVE (same-process A/B, tpu_probe_gs_mega3): 1M
+    # cap4 8.46 vs seq 8.22 ms, 2M cap5 10.46 vs 10.24, 4M cap6 13.44
+    # vs 13.26 — the per-color kernels already overlap their DMA tails
+    # across colors, while the mega window pays HALO-row recompute per
+    # block and a streaming loop order forced by the register-spill
+    # ceiling.  Kept as a verified-exact documented negative; default
+    # stays off.
     gs_colors_mega: bool = False
+    # gs_layout="par": fuse the relocate plan + apply into one
+    # DMA-windowed kernel (ops/gs_mega.relocate_mega) — deletes the
+    # plan HBM round trip and the apply's 3x band re-reads.  Matching
+    # cores shared with the sequential path (bit-identical storage).
+    # Uniform-radius + TPU only.  MEASURED NEGATIVE
+    # (tpu_probe_gs_mega run 2: 1M cap4 colors-mega 8.33 -> 9.95 ms
+    # with this on): the fused window recomputes every halo row's plan
+    # per block and its per-plane streaming (register-spill ceiling)
+    # serializes what the separate plan/apply kernels pipeline.  Kept
+    # as a verified-exact documented negative; default stays off.
+    gs_relocate_mega: bool = False
     # device-render sampling: S x S sample points per tile
     # (render/device.py).  1 = one sample per tile — the production
     # choice at 4M where tiles ~ output pixels; raise to 2-4 to recover

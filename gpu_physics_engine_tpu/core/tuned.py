@@ -87,6 +87,16 @@ _GS_CAP = {100_000: 3, 256_000: 4, 512_000: 4, 756_000: 4,
 # 1.66x baseline (tpu_probe_gs_opt.jsonl 4m_init/4m_time)
 
 
+# extra SimConfig flags for the reference-exact GS solver.  The
+# round-3 window-fused kernels (gs_colors_mega / gs_relocate_mega,
+# ops/gs_mega.py) are bit-exact on hardware but MEASURED NEGATIVE in
+# same-process A/B at every cap class (tpu_probe_gs_mega3: 1M 8.46 vs
+# seq 8.22, 2M 10.46 vs 10.24, 4M 13.44 vs 13.26; relocate fusion
+# costs +1.6 ms @1M) — so this stays EMPTY and the sequential
+# per-color kernels remain the production GS path.
+GS_FLAGS: dict = {}
+
+
 def GS_TUNED(n_particles: int):
     """(tile_cap, tiled_match) for the reference-exact GS solver at
     this size.  flip matching is bit-exact for GS relocation

@@ -692,6 +692,14 @@ def relocate_parity(subs, config: SimConfig, cap: int, t: float,
     apply kernels (plans are all computed before any apply mutates
     state — same two-phase structure as the flat relocate).  Returns
     (updated subs, deferred-mover count)."""
+    if (config.gs_relocate_mega and config.tiled_uniform_radius
+            and jax.default_backend() == "tpu"):
+        # plan + apply in one DMA-windowed pass (ops/gs_mega.py —
+        # matching cores shared; bit-exact vs this path on hardware,
+        # scripts/tpu_probe_gs_mega2.py); TPU-only (window DMAs)
+        from gpu_physics_engine_tpu.ops.gs_mega import relocate_mega
+        return relocate_mega(subs, config, cap, t, gTY, gTX,
+                             _flds(config))
     match = config.tiled_match
     if match == "auto":
         # same auto rule as relocate_pallas, on the FULL grid dims

@@ -880,20 +880,27 @@ def _apply_merge(mids, nbr_views, moving, dty, dtx, *, cap: int,
                     v = jnp.where(hit0, views[n][s0:s0 + 1], new[n][k])
                     new[n][k] = jnp.where(hit1, views[n][s1:s1 + 1], v)
         else:  # greedy: plan codes are e_idx*cap + source_slot
-            for k in range(cap):
-                # leave check: any dest slot of the target names (me, k)
-                sel = moving[k] & (dty[k] == ey) & (dtx[k] == ex)
-                code = me_at_target * cap + k
-                found = jnp.zeros(shape1, bool)
-                for kd in range(cap):
-                    found = found | (plan_e[kd:kd + 1] == code)
-                accepted[k] = accepted[k] | (sel & found)
-                # pull check: my plan for dest slot k names (e_idx, s)
-                for s in range(cap):
+            # leave check: any dest slot of the target names (me, k).
+            # kd OUTER so a lazy per-plane view (the window-fused caller,
+            # ops/gs_mega.py) reads each plan plane once per e; the
+            # accepted[k] OR-accumulation is order-free — bit-identical.
+            sel_k = [moving[k] & (dty[k] == ey) & (dtx[k] == ex)
+                     for k in range(cap)]
+            for kd in range(cap):
+                pe = plan_e[kd:kd + 1]
+                for k in range(cap):
+                    accepted[k] = accepted[k] | (
+                        sel_k[k] & (pe == me_at_target * cap + k))
+            # pull check: my plan for dest slot k names (e_idx, s).
+            # s OUTER (one lazy view plane per (e, s, field)); hits are
+            # unique per k and for fixed k the s-chain applies in the
+            # same order — bit-identical selection.
+            for s in range(cap):
+                vs = {n: views[n][s:s + 1] for n in FIELDS}
+                for k in range(cap):
                     hit = plan_mid[k:k + 1] == e_idx * cap + s
                     for n in FIELDS:
-                        new[n][k] = jnp.where(hit, views[n][s:s + 1],
-                                              new[n][k])
+                        new[n][k] = jnp.where(hit, vs[n], new[n][k])
 
     defer = jnp.zeros(shape1, jnp.int32)
     for k in range(cap):

@@ -96,10 +96,42 @@ def timed(name, n, cap, chunk=32, **kw):
         log(stage="error", name=name, err=traceback.format_exc()[-400:])
 
 
+# --- relocate_mega bit xcheck (plan+apply fused) --------------------------
+try:
+    outs = {}
+    for rmega in (False, True):
+        eng = TiledEngine(gs_cfg(65_536, gs_relocate_mega=rmega),
+                          seed=0, chunk=8)
+        eng.run(8)
+        s = eng.state
+        pid = np.asarray(s.pid).ravel()
+        order = np.argsort(pid)
+        outs[rmega] = (pid[order], np.asarray(s.x).ravel()[order],
+                       np.asarray(s.y).ravel()[order],
+                       int(s.overflow_count))
+        del eng
+    same = bool((outs[True][0] == outs[False][0]).all())
+    dx = float(np.abs(outs[True][1] - outs[False][1]).max())
+    dy = float(np.abs(outs[True][2] - outs[False][2]).max())
+    ok = (same and dx == 0.0 and dy == 0.0
+          and outs[True][3] == outs[False][3])
+    log(stage="rmega_xcheck", same_pids=same, dx=dx, dy=dy,
+        overflow=(outs[True][3], outs[False][3]), ok=ok)
+    rmega_ok = ok
+except Exception:
+    log(stage="error", name="rmega_xcheck",
+        err=traceback.format_exc()[-500:])
+    rmega_ok = False
+
 timed("mega_1m_cap4", 1_048_576, cap=4, gs_colors_mega=True)
 timed("mega_1m_cap4_c64", 1_048_576, cap=4, chunk=64,
       gs_colors_mega=True)
-timed("mega_2m_cap5", 2_000_000, cap=5, chunk=32, gs_colors_mega=True)
+if rmega_ok:
+    timed("mega_both_1m_cap4_c64", 1_048_576, cap=4, chunk=64,
+          gs_colors_mega=True, gs_relocate_mega=True)
+timed("mega_2m_cap5", 2_000_000, cap=5, chunk=32, gs_colors_mega=True,
+      gs_relocate_mega=rmega_ok)
 timed("seq_2m_cap5", 2_000_000, cap=5, chunk=32)
-timed("mega_4m_cap6", 4_194_304, cap=6, chunk=16, gs_colors_mega=True)
+timed("mega_4m_cap6", 4_194_304, cap=6, chunk=16, gs_colors_mega=True,
+      gs_relocate_mega=rmega_ok)
 log(stage="done")
