@@ -21,12 +21,19 @@ import os
 def cache_dir(base: str = "/tmp/gpe_tpu_jax_cache") -> str:
     """``base`` salted with a host-CPU/jax-version fingerprint.
 
-    The salt hashes the ENTIRE first-processor /proc/cpuinfo block, not
-    just the ISA-flags line: a round-2 judge run proved flags alone are
-    not enough (two hypervisor hosts exposed identical flag lines while
-    LLVM targeted different CPU models, so foreign AOT entries still
-    loaded and drifted f32 results).  Model name / family / stepping /
-    cache size differ whenever LLVM's target-machine choice can.
+    The salt hashes the ENTIRE first-processor /proc/cpuinfo block PLUS
+    the kernel boot_id.  History of this arms race (do not weaken it):
+    round 2 proved the ISA-flags line alone is not enough (identical
+    flag lines, different LLVM target CPUs -> foreign AOT entries
+    loaded and drifted f32 results); round 3 proved the full cpuinfo
+    block is STILL not enough — a migrated VM exposed a bitwise-equal
+    /proc/cpuinfo while LLVM's direct CPUID feature detection differed
+    (cpu_aot_loader listed dozens of mismatched machine features,
+    "could lead to execution errors such as SIGILL"), and the suite
+    intermittently died with an uncatchable native abort loading those
+    entries.  boot_id changes on every VM (re)start, so any possible
+    host migration invalidates the cache; the cost is a cold cache per
+    boot, which one full-suite run re-warms.
     """
     import platform
     try:
@@ -39,11 +46,16 @@ def cache_dir(base: str = "/tmp/gpe_tpu_jax_cache") -> str:
             cpu = "".join(block)
     except OSError:
         cpu = ""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:
+        boot = ""
     import jax
     import jaxlib
     fp = hashlib.md5(
-        (platform.machine() + cpu + jax.__version__ + jaxlib.__version__)
-        .encode()).hexdigest()[:10]
+        (platform.machine() + cpu + boot + jax.__version__
+         + jaxlib.__version__).encode()).hexdigest()[:10]
     return f"{base}_{fp}"
 
 
