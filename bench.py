@@ -167,13 +167,14 @@ def measure_gs(n: int) -> dict:
     K=6 is the reference's drop semantics and not narrowable."""
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
-    from gpu_physics_engine_tpu.core.tuned import GS_FLAGS, GS_TUNED
+    from gpu_physics_engine_tpu.core.tuned import (GS_FLAGS, GS_SWEEP,
+                                                   GS_TUNED)
     cap, match = GS_TUNED(n)
     cfg = SimConfig(max_particles=n, initial_particles=n,
                     pipeline="tiled", tiled_solver="gs",
-                    tile_multiplier=2.2, tile_cap=cap, max_occupancy=6,
+                    tile_multiplier=2.2, tile_cap=cap, max_occupancy=8,
                     tiled_uniform_radius=True, tiled_match=match,
-                    **GS_FLAGS)
+                    sort_interval_steps=GS_SWEEP(n), **GS_FLAGS)
     eng = TiledEngine(cfg, seed=0, chunk=64)
     eng.run(288)  # settles past the first 240-step sweep compile
     float(eng.state.x[0, 0, 0])
@@ -183,8 +184,16 @@ def measure_gs(n: int) -> dict:
         eng.run(240)
         float(eng.state.x[0, 0, 0])
         ms = min(ms, (time.perf_counter() - t0) / 240 * 1e3)
+    # storage-health columns (PERF.md "GS reference semantics"): the
+    # stale-pair fraction is the one divergence class vs the
+    # reference's rebuilt-every-frame grid; watchdog events show any
+    # live mitigation that ran inside the timed windows.
+    stale = round(float(eng._stale_frac(eng.state)) * 100.0, 4)
+    wd = eng.watchdog_events
     del eng
     return {"ms_per_step": round(ms, 3), "cap": cap,
+            "sweep_interval": GS_SWEEP(n),
+            "stale_pct": stale, "wd_events": wd,
             "vs_baseline": round(BASELINE_MS[n] / ms, 3)}
 
 

@@ -117,6 +117,14 @@ class SimConfig:
     # measured deferred population growing 1% -> 67% over 5760 steps
     # (scripts/tpu_probe_4m_horizon.py) while the physics stayed calm.
     sweep_mover_capacity: int = 0
+    # periodic-sweep mechanism: "relocate" = the budgeted claim sweep
+    # above; "rebuild" = wholesale storage rebuild by one stable sort
+    # (ops/tiled.rebuild) — the only sweep that resolves displacement
+    # CHAINS across full tiles (relocate's free-slot claims cannot:
+    # measured compounding stale residue at 4M GS density at any
+    # cadence/cap, tpu_probe_gs4m_cadence.jsonl).  The watchdog's
+    # forced sweep uses whichever is configured.
+    tiled_sweep: str = "relocate"
     # collide backend: "pallas" (ops/tiled_pallas.py band kernel), "jnp",
     # or "auto" (pallas on TPU, jnp elsewhere — interpret mode is test-only)
     tiled_collide: str = "auto"

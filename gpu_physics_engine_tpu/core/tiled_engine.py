@@ -116,10 +116,17 @@ class TiledEngine:
         # delta parameter for experiments)
         sweep_cap = config.sweep_mover_capacity or max(
             config.mover_capacity, config.max_particles // 16)
-        self._sweep = jax.jit(
-            lambda s, off: tiled.relocate(s, config, m_cap=sweep_cap,
-                                          tile_offset=off),
-            donate_argnums=0)
+        if config.tiled_sweep == "rebuild":
+            # wholesale sort rebuild: the only sweep that resolves
+            # displacement chains across full tiles (ops/tiled.rebuild)
+            self._sweep = jax.jit(
+                lambda s, off: tiled.rebuild(s, config),
+                donate_argnums=0)
+        else:
+            self._sweep = jax.jit(
+                lambda s, off: tiled.relocate(s, config, m_cap=sweep_cap,
+                                              tile_offset=off),
+                donate_argnums=0)
         self._sweep_count = 0
         pallas_reloc = config.tiled_relocate == "pallas" or (
             config.tiled_relocate == "auto"

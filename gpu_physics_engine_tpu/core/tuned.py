@@ -97,6 +97,23 @@ _GS_CAP = {100_000: 3, 256_000: 4, 512_000: 4, 756_000: 4,
 GS_FLAGS: dict = {}
 
 
+# Reference-exact GS sweep cadence (sort_interval_steps): the periodic
+# exact sweep restores storage==home wholesale, so cadence bounds the
+# worst-case stale-pair staleness BY CONSTRUCTION.  Needed at 4M:
+# 103% area fill creeps ~2-4%/240 steps at ANY cap
+# (docs/probes_r3/tpu_probe_gs4m.jsonl); the ladder pick is from
+# tpu_probe_gs4m_cadence.jsonl.  240 (default) elsewhere — stale is
+# <= 0.03% there without help.
+_GS_SWEEP = {4_194_304: 60}
+
+
+def GS_SWEEP(n_particles: int) -> int:
+    sizes = sorted(_GS_CAP)
+    best = min(sizes, key=lambda s: abs(s / n_particles - 1.0)
+               + abs(n_particles / s - 1.0))
+    return _GS_SWEEP.get(best, 240)
+
+
 def GS_TUNED(n_particles: int):
     """(tile_cap, tiled_match) for the reference-exact GS solver at
     this size.  flip matching is bit-exact for GS relocation

@@ -570,6 +570,100 @@ def relocate(state: TileState, config: SimConfig, m_cap: int | None = None,
         overflow_count=state.overflow_count + deferred + not_placed)
 
 
+def rebuild(state: TileState, config: SimConfig,
+            loser_cap: int = 1 << 16) -> TileState:
+    """Wholesale storage rebuild: every live particle re-slotted at its
+    HOME tile in one stable sort — the device-side analog of the
+    reference's rebuilt-every-frame grid (grid.rs:322-332) and the
+    exact sweep ``relocate`` structurally cannot be: relocate's
+    free-slot claims can never resolve displacement CHAINS across full
+    tiles (A -> B while B's slots hold movers headed elsewhere), so at
+    4M/103% area fill the stale population compounds at ANY sweep
+    cadence or cap (measured: tpu_probe_gs4m_cadence.jsonl — cadence
+    240/120/60 all creep 5 -> 10% identically, cap6 == cap7).
+
+    Mechanics (sort-speed, no large gathers):
+      1. stable lax.sort of the full [CAP*TY*TX] slot array by home
+         tile (dead slots to the end),
+      2. rank-within-home-group via a max-scan over group starts,
+      3. winners (rank < CAP) scatter to (rank, home) — unique indices,
+      4. losers (home demand exceeded CAP) go to global free slots via
+         a bounded zip (never silently lost; anything past loser_cap —
+         pathological demand — is counted in overflow_count and
+         num_active drops, same contract as init_tiles refusals).
+
+    Slot ORDER within a tile is not preserved; all consumers key on
+    pid, not slot (the GS rank tables are pid-sorted selection
+    networks, the Jacobi sweep is order-free), and relocate/collide
+    read slots symmetrically.
+    """
+    t, TY, TX = tile_geometry(config)
+    cap, _, _ = state.dims
+    ntiles = TY * TX
+    S = cap * ntiles
+
+    live = state.occupied()
+    ty_w, tx_w = _tile_of(state.x, state.y, jnp.float32(t))
+    ty_w = jnp.clip(ty_w, 1, TY - 2)
+    tx_w = jnp.clip(tx_w, 1, TX - 2)
+    lin = jnp.where(live, ty_w * TX + tx_w, ntiles).reshape(-1)
+
+    key, xs, ys, pxs, pys, rs, ps = jax.lax.sort(
+        (lin, state.x.reshape(-1), state.y.reshape(-1),
+         state.px.reshape(-1), state.py.reshape(-1),
+         state.radius.reshape(-1), state.pid.reshape(-1)),
+        num_keys=1, is_stable=True)
+
+    idx = jnp.arange(S, dtype=_I32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), key[1:] != key[:-1]])
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, 0))
+    rank = idx - start
+    in_grid = key < ntiles
+    win = in_grid & (rank < cap)
+    dst = jnp.where(win, rank * ntiles + key, S)
+
+    def fresh(fill, dtype, vals):
+        return jnp.full(S, fill, dtype).at[dst].set(
+            vals, mode="drop", unique_indices=True)
+
+    nx = fresh(0.0, jnp.float32, xs)
+    ny = fresh(0.0, jnp.float32, ys)
+    npx = fresh(0.0, jnp.float32, pxs)
+    npy = fresh(0.0, jnp.float32, pys)
+    nr = fresh(0.0, jnp.float32, rs)
+    npid = fresh(_EMPTY, _I32, ps)
+
+    # losers: home demand exceeded CAP — zip into global free slots
+    loser = in_grid & (rank >= cap)
+    n_losers = jnp.sum(loser.astype(_I32))
+    (lidx,) = jnp.nonzero(loser, size=loser_cap, fill_value=S)
+    l_live = lidx < S
+    lidx0 = jnp.where(l_live, lidx, 0)
+    (fidx,) = jnp.nonzero(npid < 0, size=loser_cap, fill_value=S)
+    # a loser needs a live free slot; free slots are plentiful
+    # (S >> num_active) so fidx exhaustion implies lidx exhaustion
+    ldst = jnp.where(l_live & (fidx < S), fidx, S)
+    nx = nx.at[ldst].set(xs[lidx0], mode="drop", unique_indices=True)
+    ny = ny.at[ldst].set(ys[lidx0], mode="drop", unique_indices=True)
+    npx = npx.at[ldst].set(pxs[lidx0], mode="drop", unique_indices=True)
+    npy = npy.at[ldst].set(pys[lidx0], mode="drop", unique_indices=True)
+    nr = nr.at[ldst].set(rs[lidx0], mode="drop", unique_indices=True)
+    npid = npid.at[ldst].set(ps[lidx0], mode="drop", unique_indices=True)
+
+    placed_losers = jnp.sum((ldst < S).astype(_I32))
+    lost = n_losers - placed_losers  # pathological (> loser_cap): loud
+    shape = state.dims
+    return dataclasses.replace(
+        state,
+        x=nx.reshape(shape), y=ny.reshape(shape),
+        px=npx.reshape(shape), py=npy.reshape(shape),
+        radius=nr.reshape(shape), pid=npid.reshape(shape),
+        num_active=state.num_active - lost,
+        overflow_count=state.overflow_count + lost)
+
+
 def insert_particles(state: TileState, config: SimConfig, positions, radii,
                      pids) -> TileState:
     """Spawn path: place new particles (device-side, jittable)."""

@@ -10,8 +10,20 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collective rendezvous stuck-check: the 8 virtual devices
+# share ONE physical core here, so under concurrent machine load a
+# partition can legitimately starve for minutes inside a sharded
+# program; the default terminate timeout then CHECK-aborts the whole
+# process from a worker thread (xla::internal::AwaitAndLogIfStuck ->
+# absl LOG(FATAL), seen as an uncatchable 'Fatal Python error:
+# Aborted' with the real message swallowed by pytest's fd capture —
+# diagnosed round 3 after three flaky suite deaths).  Starvation is
+# not deadlock: wait loudly instead of dying.
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

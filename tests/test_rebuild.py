@@ -1,0 +1,125 @@
+"""ops/tiled.rebuild: wholesale sort-rebuild of tile storage.
+
+relocate's free-slot claims cannot resolve displacement chains across
+full tiles (measured compounding stale residue at 4M GS density —
+docs/probes_r3/tpu_probe_gs4m_cadence.jsonl); rebuild re-slots every
+live particle at its home tile in one stable sort.  These lock the
+contract: nobody lost, stale-pair fraction goes to zero, demand
+overflow goes to free slots (not dropped), idempotent, and the engine
+sweep hook runs it.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_physics_engine_tpu import SimConfig
+from gpu_physics_engine_tpu.ops import tiled
+
+
+def _cfg(**kw):
+    kw.setdefault("max_particles", 256)
+    kw.setdefault("initial_particles", 0)
+    kw.setdefault("world_width", 24.0)
+    kw.setdefault("world_height", 24.0)
+    kw.setdefault("initial_radius", 0.5)
+    kw.setdefault("pipeline", "tiled")
+    kw.setdefault("tile_cap", 4)
+    kw.setdefault("tile_multiplier", 3.3)
+    return SimConfig(**kw)
+
+
+def _grid_state(cfg, n=48, seed=3):
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(1.0, cfg.world_width - 1.0, n),
+                    rng.uniform(1.0, cfg.world_height - 1.0, n)],
+                   -1).astype(np.float32)
+    rad = np.full(n, cfg.initial_radius, np.float32)
+    return tiled.init_tiles(cfg, pos, rad)
+
+
+def _sorted_particles(st):
+    pid = np.asarray(st.pid).ravel()
+    live = pid >= 0
+    order = np.argsort(pid[live])
+    return (pid[live][order],
+            np.asarray(st.x).ravel()[live][order],
+            np.asarray(st.y).ravel()[live][order],
+            np.asarray(st.radius).ravel()[live][order])
+
+
+def test_rebuild_restores_displaced_storage():
+    cfg = _cfg()
+    st = _grid_state(cfg)
+    before = _sorted_particles(st)
+    # displace EVERY particle's storage by two tiles in both axes
+    # (the >= 2-tile collision-missing class the stale metric counts):
+    # rolls move slots, positions stay — a displacement chain relocate
+    # cannot fully fix in one budgeted pass, rebuild must fix in one
+    rolled = dataclasses.replace(
+        st, **{f: jnp.roll(getattr(st, f), (2, 2), axis=(1, 2))
+               for f in ("x", "y", "px", "py", "radius", "pid")})
+    assert float(tiled.stale_pair_fraction(rolled, cfg)) > 0.0
+    rb = tiled.rebuild(rolled, cfg)
+    assert float(tiled.stale_pair_fraction(rb, cfg)) == 0.0
+    after = _sorted_particles(rb)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+    assert int(rb.num_active) == int(st.num_active)
+    assert int(rb.overflow_count) == int(st.overflow_count)
+
+
+def test_rebuild_home_demand_over_cap_goes_to_free_slots():
+    cfg = _cfg(tile_cap=2)
+    st = _grid_state(cfg, n=24, seed=5)
+    # cram 5 particles' HOMES into one interior cell: 2 win the home
+    # slots, 3 must land in free slots elsewhere — never dropped
+    x = np.asarray(st.x).copy()
+    y = np.asarray(st.y).copy()
+    pid = np.asarray(st.pid)
+    live_idx = np.argwhere(pid >= 0)[:5]
+    for k, ty, tx in live_idx:
+        x[k, ty, tx] = 5.0
+        y[k, ty, tx] = 5.0
+    st2 = dataclasses.replace(st, x=jnp.asarray(x), y=jnp.asarray(y))
+    before = _sorted_particles(st2)
+    rb = tiled.rebuild(st2, cfg)
+    after = _sorted_particles(rb)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+    assert int(rb.num_active) == int(st2.num_active)
+    assert int(rb.overflow_count) == int(st2.overflow_count)
+    # home tile holds exactly cap of the 5 claimants
+    t, TY, TX = tiled.tile_geometry(cfg)
+    hty, htx = int(5.0 // t) + 1, int(5.0 // t) + 1
+    occ_home = int((np.asarray(rb.pid)[:, hty, htx] >= 0).sum())
+    assert occ_home == 2
+
+
+def test_rebuild_idempotent():
+    cfg = _cfg()
+    st = _grid_state(cfg, seed=11)
+    r1 = tiled.rebuild(st, cfg)
+    r2 = tiled.rebuild(r1, cfg)
+    for f in ("x", "y", "px", "py", "radius", "pid"):
+        np.testing.assert_array_equal(np.asarray(getattr(r1, f)),
+                                      np.asarray(getattr(r2, f)))
+
+
+def test_engine_sweep_rebuild_hook():
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    cfg = _cfg(max_particles=128, initial_particles=96,
+               sort_interval_steps=8, tiled_sweep="rebuild")
+    eng = TiledEngine(cfg, seed=0, chunk=4)
+    eng.run(20)  # crosses two sweep boundaries
+    p = eng.positions()
+    assert np.isfinite(p).all()
+    assert len(p) == 96
+    assert float(eng._stale_frac(eng.state)) <= 0.05
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-v"]))
