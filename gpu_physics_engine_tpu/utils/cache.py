@@ -22,18 +22,24 @@ def cache_dir(base: str = "/tmp/gpe_tpu_jax_cache") -> str:
     """``base`` salted with a host-CPU/jax-version fingerprint.
 
     The salt hashes the ENTIRE first-processor /proc/cpuinfo block PLUS
-    the kernel boot_id.  History of this arms race (do not weaken it):
-    round 2 proved the ISA-flags line alone is not enough (identical
-    flag lines, different LLVM target CPUs -> foreign AOT entries
-    loaded and drifted f32 results); round 3 proved the full cpuinfo
-    block is STILL not enough — a migrated VM exposed a bitwise-equal
-    /proc/cpuinfo while LLVM's direct CPUID feature detection differed
-    (cpu_aot_loader listed dozens of mismatched machine features,
-    "could lead to execution errors such as SIGILL"), and the suite
-    intermittently died with an uncatchable native abort loading those
-    entries.  boot_id changes on every VM (re)start, so any possible
-    host migration invalidates the cache; the cost is a cold cache per
-    boot, which one full-suite run re-warms.
+    the kernel boot_id.  History (do not weaken it): round 2 proved the
+    ISA-flags line alone is not enough (identical flag lines, different
+    LLVM target CPUs -> foreign AOT entries loaded and drifted f32
+    results past test tolerances).  boot_id is defense-in-depth on top
+    of the cpuinfo block: it changes on every VM (re)start, so any
+    possible host migration — including one that clones /proc/cpuinfo
+    bitwise while LLVM's direct CPUID detection differs — invalidates
+    the cache unconditionally.  Cost: a cold cache per boot, re-warmed
+    by one full-suite run.
+
+    Reading cpu_aot_loader warnings: a pair of "+prefer-no-scatter /
+    +prefer-no-gather ... not supported on the host" warnings appears
+    on EVERY AOT load, including perfectly healthy same-machine /
+    same-process ones — those two are XLA pseudo-features that the
+    host CPUID probe never reports; they are NOT evidence of a foreign
+    entry (a round-3 session misread them as one while chasing a
+    suite abort whose true cause was the CPU collective rendezvous
+    stuck-check — see tests/conftest.py).
     """
     import platform
     try:
