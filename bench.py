@@ -170,11 +170,13 @@ def measure_gs(n: int) -> dict:
     from gpu_physics_engine_tpu.core.tuned import (GS_FLAGS, GS_SWEEP,
                                                    GS_TUNED)
     cap, match = GS_TUNED(n)
+    sweep_iv, sweep_mech = GS_SWEEP(n)
     cfg = SimConfig(max_particles=n, initial_particles=n,
                     pipeline="tiled", tiled_solver="gs",
                     tile_multiplier=2.2, tile_cap=cap, max_occupancy=8,
                     tiled_uniform_radius=True, tiled_match=match,
-                    sort_interval_steps=GS_SWEEP(n), **GS_FLAGS)
+                    sort_interval_steps=sweep_iv, tiled_sweep=sweep_mech,
+                    **GS_FLAGS)
     eng = TiledEngine(cfg, seed=0, chunk=64)
     eng.run(288)  # settles past the first 240-step sweep compile
     float(eng.state.x[0, 0, 0])
@@ -192,7 +194,7 @@ def measure_gs(n: int) -> dict:
     wd = eng.watchdog_events
     del eng
     return {"ms_per_step": round(ms, 3), "cap": cap,
-            "sweep_interval": GS_SWEEP(n),
+            "sweep_interval": sweep_iv, "sweep": sweep_mech,
             "stale_pct": stale, "wd_events": wd,
             "vs_baseline": round(BASELINE_MS[n] / ms, 3)}
 

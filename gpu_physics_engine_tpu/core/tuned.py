@@ -97,21 +97,25 @@ _GS_CAP = {100_000: 3, 256_000: 4, 512_000: 4, 756_000: 4,
 GS_FLAGS: dict = {}
 
 
-# Reference-exact GS sweep cadence (sort_interval_steps): the periodic
-# exact sweep restores storage==home wholesale, so cadence bounds the
-# worst-case stale-pair staleness BY CONSTRUCTION.  Needed at 4M:
-# 103% area fill creeps ~2-4%/240 steps at ANY cap
-# (docs/probes_r3/tpu_probe_gs4m.jsonl); the ladder pick is from
-# tpu_probe_gs4m_cadence.jsonl.  240 (default) elsewhere — stale is
+# Reference-exact GS sweep: cadence (sort_interval_steps) + mechanism.
+# At 4M (103% area fill) the stale-pair population creeps at ANY cap
+# and ANY budgeted-relocate cadence (240/120/60 identical,
+# docs/probes_r3/tpu_probe_gs4m_cadence.jsonl) because free-slot
+# claims cannot resolve displacement chains across full tiles; only
+# the wholesale sort rebuild (ops/tiled.rebuild,
+# tiled_sweep="rebuild") restores storage==home, so 4M runs it at a
+# short cadence — staleness is then bounded BY CONSTRUCTION at the
+# ~60-step accumulation (~1%).  240/"relocate" elsewhere — stale is
 # <= 0.03% there without help.
-_GS_SWEEP = {4_194_304: 60}
+_GS_SWEEP = {4_194_304: (60, "rebuild")}
 
 
-def GS_SWEEP(n_particles: int) -> int:
+def GS_SWEEP(n_particles: int):
+    """(sort_interval_steps, tiled_sweep) for the GS solver at n."""
     sizes = sorted(_GS_CAP)
     best = min(sizes, key=lambda s: abs(s / n_particles - 1.0)
                + abs(n_particles / s - 1.0))
-    return _GS_SWEEP.get(best, 240)
+    return _GS_SWEEP.get(best, (240, "relocate"))
 
 
 def GS_TUNED(n_particles: int):
