@@ -288,9 +288,11 @@ def main():
             detail["substeps2_4m_ms"] = round(measure_substeps2(), 3)
         except Exception as e:
             detail["substeps2_4m_ms"] = f"error: {type(e).__name__}"[:80]
-    # reference-exact GS rows (flat in n — PERF.md has the full curve;
-    # the two poles anchor the BENCH record)
-    for gs_n, key in ((1_048_576, "gs_1m"), (4_194_304, "gs_4m")):
+    # reference-exact GS rows (flat in n — PERF.md has the full curve).
+    # 1M anchors the dilute pole; 2M/3M/4M are the loaded class where
+    # the world-fixed GS grid cost meets/beats the reference's own GPU.
+    for gs_n, key in ((1_048_576, "gs_1m"), (2_000_000, "gs_2m"),
+                      (3_000_000, "gs_3m"), (4_194_304, "gs_4m")):
         if time.time() - t_start > soft_deadline_s:
             break
         try:

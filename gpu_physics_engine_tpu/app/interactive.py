@@ -32,6 +32,12 @@ def main(argv=None):
                         "ON-DEVICE and only the finished image downloads "
                         "(the 1M+ interactive path — host splatting costs "
                         "~150 ms @1M, PERF.md)")
+    p.add_argument("--preview-scale", type=int, default=1,
+                   help="device-render pipelines composite at "
+                        "window/s and upscale on the host: s^2 less "
+                        "frame download — the interactive-fps knob on "
+                        "tunneled TPU runtimes where the 2.7 MB "
+                        "1280x720 download dominates the frame budget")
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    dest="overrides", help="SimConfig overrides (headless "
                                           "--set semantics)")
@@ -95,7 +101,8 @@ def main(argv=None):
         while running["on"]:
             viewer.camera.update(eng.timer.get_delta() or 1 / 60)
             eng.step()
-            frame = viewer.render_engine(eng)
+            frame = viewer.render_engine(
+                eng, preview_scale=args.preview_scale)
             if im is None:
                 im = ax.imshow(frame)
             else:

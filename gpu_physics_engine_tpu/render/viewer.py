@@ -67,7 +67,8 @@ class Viewer:
         return frame
 
     def render_engine(self, engine,
-                      prefer_device: Optional[bool] = None) -> np.ndarray:
+                      prefer_device: Optional[bool] = None,
+                      preview_scale: int = 1) -> np.ndarray:
         """One frame from the engine.
 
         Engines that render on-chip (TiledEngine.render_frame) composite
@@ -76,15 +77,28 @@ class Viewer:
         (the host splatter costs ~150 ms @1M / ~2 s @4M, PERF.md);
         grid lines are drawn over the downloaded frame on the host.
         Other engines use the host splatter fed by device arrays
-        (the reference split, renderer.rs:27-75)."""
+        (the reference split, renderer.rs:27-75).
+
+        ``preview_scale`` > 1 composites at (w/s, h/s) and upscales on
+        the host — same world rect, s^2 less image download.  On a
+        tunneled TPU the 2.7 MB 1280x720 download IS the interactive
+        frame budget (~135 ms of the 164 ms/frame measured in
+        docs/probes_r3/tpu_probe_interactive.jsonl), so scale 2 is the
+        remote-display knob; local device runtimes don't need it."""
         use_device = (prefer_device if prefer_device is not None
                       else hasattr(engine, "render_frame"))
         if use_device:
             w, h = self.screen_size
+            s = max(1, int(preview_scale))
+            fw, fh = -(-w // s), -(-h // s)  # ceil: cover the window
             frame = np.asarray(
                 engine.render_frame(rect=self.camera.world_rect(),
-                                    width=w, height=h),
+                                    width=fw, height=fh),
                 np.float32) / 255.0
+            if s > 1:
+                # nearest upscale, cropped to the window; the grid
+                # overlay below draws at full resolution on top
+                frame = frame.repeat(s, axis=0).repeat(s, axis=1)[:h, :w]
             cell = engine.cell_size()
             if self.draw_grid and cell:
                 a, b, hz = lines.grid_line_segments(self.world_size, cell)

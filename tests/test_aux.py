@@ -218,7 +218,7 @@ def test_interactive_smoke_headless():
 
     interactive.main(["--frames", "3", "--particles", "200",
                       "--world", "64", "64", "--window", "160", "120",
-                      "--pipeline", "tiled",
+                      "--pipeline", "tiled", "--preview-scale", "2",
                       "--set", "tiled_collide=jnp",
                       "--set", "tile_cap=16",
                       "--set", "sort_interval_steps=0"])

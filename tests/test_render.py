@@ -205,3 +205,36 @@ def test_viewer_device_path_for_tiled_engine():
     viewer.toggle_grid()
     grid = viewer.render_engine(eng)
     assert grid.shape == dev.shape and grid.max() > 0.0
+
+
+def test_viewer_preview_scale_downscaled_fetch():
+    """preview_scale=s composites at (w/s, h/s) on device and upscales
+    on the host: full-window shape out, same world in view (the
+    remote-display knob — s^2 less image download over the tunnel)."""
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+
+    cfg = SimConfig(max_particles=512, initial_particles=256,
+                    world_width=64.0, world_height=64.0,
+                    initial_radius=0.5, pipeline="tiled", tile_cap=16,
+                    tiled_collide="jnp", sort_interval_steps=0)
+    eng = TiledEngine(cfg, seed=0)
+    eng.run(3)
+    viewer = Viewer((64.0, 64.0), (320, 240))
+    full = viewer.render_engine(eng)
+    half = viewer.render_engine(eng, preview_scale=2)
+    assert half.shape == full.shape == (240, 320, 3)
+    assert half.dtype == np.float32 and half.max() > 0.0
+
+    # same world content at block granularity (the preview is the same
+    # composite at half resolution, nearest-upscaled)
+    def blocks(f):
+        m = f.max(axis=-1) > 0.02
+        return m.reshape(15, 16, 20, 16).any(axis=(1, 3))
+
+    bf, bh = blocks(full), blocks(half)
+    assert (bf & bh).sum() > 0.8 * max(bf.sum(), 1)
+    # grid overlay still draws at full resolution on top
+    viewer.toggle_grid()
+    g = viewer.render_engine(eng, preview_scale=2)
+    assert g.shape == full.shape and g.max() > 0.0
