@@ -451,6 +451,18 @@ class ShardedTiledEngine:
         from gpu_physics_engine_tpu.parallel.mesh import make_mesh
         from gpu_physics_engine_tpu.utils.timer import FrameTimer
 
+        if config.tiled_sweep == "rebuild":
+            # the wholesale sort rebuild is a GLOBAL stable re-slot; a
+            # slab-local rebuild would strand cross-slab movers and a
+            # global one defeats the slab decomposition (an all-gather
+            # of every plane).  Loud, like the sharded-GS exclusion —
+            # the claim sweep + two-phase migration is the sharded
+            # storage-health mechanism (PARITY.md).
+            raise ValueError(
+                "tiled_sweep='rebuild' is single-chip only: the sharded "
+                "engine's periodic exact sweep is the slab claim sweep "
+                "(set tiled_sweep='relocate' or run single-chip)")
+
         self.mesh = mesh if mesh is not None else make_mesh()
         self._key = jax.random.key(seed)
         k1, k2, self._key = jax.random.split(self._key, 3)

@@ -588,3 +588,16 @@ def test_sharded_tiled_spawn_disables_uniform_radius(mesh8):
     eng.run(3)
     lost = int(np.asarray(eng.state.overflow_count))
     assert eng.num_particles() == before + 8 - lost
+
+
+def test_sharded_rejects_rebuild_sweep(mesh8):
+    """tiled_sweep='rebuild' is single-chip only (a global stable
+    re-slot; slab-local would strand cross-slab movers) — the sharded
+    engine must refuse LOUDLY, like the sharded-GS exclusion, not
+    silently run the claim sweep instead."""
+    from gpu_physics_engine_tpu.parallel.tiled_shard import (
+        ShardedTiledEngine)
+
+    cfg = _tcfg(tiled_sweep="rebuild")
+    with pytest.raises(ValueError, match="single-chip"):
+        ShardedTiledEngine(cfg, mesh=mesh8, seed=0)
