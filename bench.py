@@ -53,6 +53,30 @@ def _wait_for_relay():
 
 import jax
 
+# The relay port being open does NOT mean the remote runtime works: a
+# wedged runtime (observed round 3: device listing OK, a trivial
+# scalar compile+fetch hung > minutes) would hang the bench — and the
+# driver — forever.  Prove liveness with a bounded tiny fetch first.
+_RUNTIME_DEADLINE_S = 900
+
+
+def _runtime_alive():
+    import os
+    import threading
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return True  # local backends don't wedge
+    result = {}
+
+    def probe():
+        import jax.numpy as jnp
+        result["v"] = float(jnp.arange(8.0).sum())
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(_RUNTIME_DEADLINE_S)
+    return result.get("v") == 28.0
+
+
 BASELINE_MS = {100_000: 1.03, 256_000: 1.28, 512_000: 1.88, 756_000: 2.53,
                1_048_576: 3.66, 2_000_000: 8.417, 3_000_000: 15.62,
                4_194_304: 22.70}
@@ -227,6 +251,15 @@ def main():
                      f"refused for {_RELAY_DEADLINE_S}s); device unavailable",
         }))
         sys.exit(0)
+    if not _runtime_alive():
+        import os
+        print(json.dumps({
+            "metric": "frame_time_ms_at_4M_particles",
+            "value": None, "unit": "ms/step", "vs_baseline": None,
+            "error": "TPU runtime wedged: relay port open but a trivial "
+                     f"scalar fetch hung > {_RUNTIME_DEADLINE_S}s",
+        }), flush=True)
+        os._exit(0)  # the stuck fetch thread cannot be joined
     t_start = time.time()
     soft_deadline_s = 2100  # skip remaining configs rather than hang the driver
     detail = {}
