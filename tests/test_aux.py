@@ -222,3 +222,30 @@ def test_interactive_smoke_headless():
                       "--set", "tiled_collide=jnp",
                       "--set", "tile_cap=16",
                       "--set", "sort_interval_steps=0"])
+
+
+def test_gs_tuned_helpers_map_sizes():
+    """GS_TUNED/GS_SWEEP: log-nearest size mapping, the 4M rebuild
+    sweep pick, and the relocate default everywhere else (bench.py and
+    user GS configs both read these)."""
+    from gpu_physics_engine_tpu.core.tuned import GS_SWEEP, GS_TUNED
+
+    cap_1m, match = GS_TUNED(1_048_576)
+    assert cap_1m == 4 and match == "auto"
+    assert GS_TUNED(900_000) == GS_TUNED(1_048_576)  # log-nearest
+    assert GS_TUNED(4_194_304)[0] == 6  # storage-true 4M cap
+
+    assert GS_SWEEP(1_048_576) == (240, "relocate")
+    iv, mech = GS_SWEEP(4_194_304)
+    assert mech == "rebuild" and iv <= 240  # displacement-chain fix
+    assert GS_SWEEP(3_900_000) == GS_SWEEP(4_194_304)  # nearest
+
+
+def test_tuned_config_accepts_sweep_override():
+    """tiled_sweep rides tuned_config overrides straight to SimConfig
+    (the production-rebuild adoption path)."""
+    from gpu_physics_engine_tpu import tuned_config
+
+    cfg = tuned_config(512_000, tiled_sweep="rebuild")
+    assert cfg.tiled_sweep == "rebuild"
+    assert tuned_config(512_000).tiled_sweep == "relocate"
