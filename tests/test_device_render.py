@@ -141,3 +141,28 @@ def test_render_throughput_window_runs():
     ms = render_throughput_ms(eng.state, cfg, frames=4,
                               width=128, height=64)
     assert np.isfinite(ms) and ms > 0
+
+
+def test_render_run_matches_plain_run():
+    """render_run = run() with the device composite fused after every
+    step (the reference's frame loop, state.rs:115-140): the sim
+    trajectory must be IDENTICAL to plain run(), and repeated windows
+    must keep advancing.  (The return value is a corner-pixel sync
+    anchor — forcing it is the honest device sync — not a content
+    checksum; content parity is covered by the render_frame tests.)"""
+    cfg = _cfg(max_particles=48, initial_particles=32,
+               tiled_collide="jnp")
+    a = TiledEngine(cfg, seed=0)
+    b = TiledEngine(cfg, seed=0)
+    a.run(6)
+    acc = b.render_run(6, width=40, height=20)
+    assert isinstance(acc, int)  # forced on host = the window ran
+    np.testing.assert_array_equal(np.asarray(a.state.x),
+                                  np.asarray(b.state.x))
+    np.testing.assert_array_equal(np.asarray(a.state.pid),
+                                  np.asarray(b.state.pid))
+    # a second window keeps advancing identically
+    a.run(3)
+    b.render_run(3, width=40, height=20)
+    np.testing.assert_array_equal(np.asarray(a.state.x),
+                                  np.asarray(b.state.x))
