@@ -123,3 +123,31 @@ def test_engine_sweep_rebuild_hook():
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+def test_rebuild_lowering_stays_small_at_4m_scale():
+    """The rebuild is sort-speed by construction: its jaxpr must stay
+    O(1) in world size (sort + scans + scatters — no per-tile or
+    per-cap unrolls).  Lock the lowered-HLO size at the full 4M GS
+    geometry (960x2773 tiles, 15.9M slots) — abstract lowering only,
+    no compile, so this is cheap on CPU.  (Measured: 791 lines; a
+    future unroll regression would explode this by orders of
+    magnitude.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_physics_engine_tpu.ops.tiled import TileState, tile_geometry
+
+    cfg = SimConfig(max_particles=4_194_304, initial_particles=4_194_304,
+                    pipeline="tiled", tile_multiplier=2.2, tile_cap=6,
+                    max_occupancy=8, tiled_sweep="rebuild")
+    _, TY, TX = tile_geometry(cfg)
+    assert TY * TX > 2_000_000  # really the production-scale grid
+    shape = (6, TY, TX)
+    f = jax.ShapeDtypeStruct(shape, jnp.float32)
+    i = jax.ShapeDtypeStruct(shape, jnp.int32)
+    s0 = jax.ShapeDtypeStruct((), jnp.int32)
+    st = TileState(x=f, y=f, px=f, py=f, radius=f, pid=i,
+                   num_active=s0, overflow_count=s0)
+    hlo = jax.jit(lambda s: tiled.rebuild(s, cfg)).lower(st).as_text()
+    assert hlo.count("\n") < 5_000
