@@ -53,6 +53,20 @@ def _wait_for_relay():
 
 import jax
 
+# Persistent compile cache: share remote-compile entries with the probe
+# scripts (unsalted dir — remote-TPU entries carry no foreign-machine
+# CPU-AOT risk; CPU test runs use the conftest-salted dir instead).
+# Without this every driver bench re-compiles the full curve from
+# scratch, which is unaffordable when the remote compile service is
+# degraded (observed round 3: minutes per program).
+import os as _os
+if _os.environ.get("JAX_PLATFORMS", "") == "axon":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        "/tmp/gpe_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # The relay port being open does NOT mean the remote runtime works: a
 # wedged runtime (observed round 3: device listing OK, a trivial
 # scalar compile+fetch hung > minutes) would hang the bench — and the
