@@ -7,25 +7,39 @@ Baseline (BASELINE.md, reference README.md:80-87, RX 6800 XT, ms/frame):
   100k 1.03 | 256k 1.28 | 512k 1.88 | 756k 2.53 | 1M 3.66
   | 2M 8.417 | 3M 15.62 | 4M 22.70
 North star: 4M particles at <= 22 ms/step on one TPU chip.
-vs_baseline = baseline_ms / our_ms at 4M (>1 means faster than baseline).
+The headline value/vs_baseline is the 4M FRAME time (sim + device render
+per frame — the reference's own metric, state.rs:115-140) when the frame
+loop was measured, else the sim step time; "headline" names which.
 
 Methodology: the production persistent-tiled pipeline per size, with the
 hardware-swept tile geometry (scripts/tpu_sweep_curve*.py; greedy slot
 matching on mid-size grids keeps steady-state deferral low).  Per size:
-~400 settling steps (random scenes churn movers for the first few hundred
-steps), then ONE 480-step window that naturally includes the periodic
-exact-relocate sweeps (every 240 steps) — so the reported ms/step is the
-honest steady-state average, maintenance included.  Every window ends
-with a host fetch of one scalar: on tunneled TPU runtimes
+~480 settling steps (random scenes churn movers for the first few hundred
+steps), then two 480-step windows (min) that naturally include the
+periodic exact-relocate sweeps (every 240 steps) — so the reported
+ms/step is the honest steady-state average, maintenance included.  Every
+window ends with a host fetch of one scalar: on tunneled TPU runtimes
 `block_until_ready` can return before remote completion (DESIGN.md §6),
-so fetch-sync is the only honest clock.  Step time is simulation only;
-the reference's frame time includes its render pass (BASELINE.md) —
-device-side rendering is measured separately in `detail.render_4m_ms`.
+so fetch-sync is the only honest clock.
+
+UN-HANGABILITY (round-3 lesson: the driver got rc=124 and zero output
+under a degraded remote compile service):
+  - a watchdog thread enforces a global hard deadline AND a
+    no-progress stall bound; on either it prints the final JSON from
+    whatever completed (never nothing) and os._exit(0)s;
+  - fine-grained progress ticks inside each measurement keep the stall
+    clock honest (a slow-but-moving service is not a stall);
+  - every completed row is flushed to stderr and /tmp/bench_partial.json
+    immediately;
+  - a liveness fetch slower than _DEGRADED_FETCH_S switches to degraded
+    mode: halved windows, headline sizes first, optional rows dropped.
 """
 
 import json
+import os
 import socket
 import sys
+import threading
 import time
 
 # The axon TPU plugin connects to a local stdio-relay; if the relay is
@@ -35,9 +49,12 @@ _RELAY_PORTS = (8082, 8083, 8087)
 _RELAY_DEADLINE_S = 1200
 
 
+def _on_axon() -> bool:
+    return "axon" in os.environ.get("JAX_PLATFORMS", "").split(",")
+
+
 def _wait_for_relay():
-    import os
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+    if not _on_axon():
         return True  # not tunneled; nothing to probe
     t0 = time.time()
     while time.time() - t0 < _RELAY_DEADLINE_S:
@@ -59,13 +76,9 @@ import jax
 # Without this every driver bench re-compiles the full curve from
 # scratch, which is unaffordable when the remote compile service is
 # degraded (observed round 3: minutes per program).
-import os as _os
-if _os.environ.get("JAX_PLATFORMS", "") == "axon":
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                        "/tmp/gpe_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if _on_axon():
+    from gpu_physics_engine_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(salt=False)
 
 # The relay port being open does NOT mean the remote runtime works: a
 # wedged runtime (observed round 3: device listing OK, a trivial
@@ -73,22 +86,33 @@ if _os.environ.get("JAX_PLATFORMS", "") == "axon":
 # driver — forever.  Prove liveness with a bounded tiny fetch first.
 _RUNTIME_DEADLINE_S = 900
 
+# liveness fetch slower than this = degraded compile service -> short
+# windows, fewer rows (round 3 measured 172-570 s fetches while degraded;
+# healthy is < 2 s)
+_DEGRADED_FETCH_S = 30.0
+
+# watchdog bounds (env-overridable).  The round-3 driver killed the
+# bench ~2300 s in; finishing early with partials always beats rc=124.
+_HARD_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1900))
+_STALL_S = float(os.environ.get("BENCH_STALL_S", 900))
+
 
 def _runtime_alive():
-    import os
-    import threading
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
-        return True  # local backends don't wedge
+    """(alive, fetch_seconds) via a bounded tiny compile+fetch."""
+    if not _on_axon():
+        return True, 0.0  # local backends don't wedge
     result = {}
 
     def probe():
         import jax.numpy as jnp
+        t0 = time.time()
         result["v"] = float(jnp.arange(8.0).sum())
+        result["s"] = time.time() - t0
 
     th = threading.Thread(target=probe, daemon=True)
     th.start()
     th.join(_RUNTIME_DEADLINE_S)
-    return result.get("v") == 28.0
+    return result.get("v") == 28.0, result.get("s", float("inf"))
 
 
 BASELINE_MS = {100_000: 1.03, 256_000: 1.28, 512_000: 1.88, 756_000: 2.53,
@@ -111,7 +135,110 @@ SETTLE = 480     # steps before timing (mover churn decays).  Multiple of
                  # (e.g. {128, 112} at chunk 128), and a first-occurrence
                  # compile inside the timed window would dominate it.
 WINDOW = 480     # timed steps: 2 full 240-step sweep cycles included
+FRAME_WINDOW = 240  # timed sim+render frames per size
 
+
+# ---------------------------------------------------------------------------
+# progress / watchdog: the bench must NEVER end without printing a JSON line
+# ---------------------------------------------------------------------------
+
+_STATE = {
+    "t_start": time.time(),
+    "last_tick": time.time(),
+    "inflight": None,      # label of the measurement currently running
+    "detail": {},
+    "emitted": False,
+    "degraded": False,
+}
+_EMIT_LOCK = threading.Lock()
+
+
+def _tick(label=None):
+    """Progress heartbeat: a measurement is alive (resets the stall clock)."""
+    _STATE["last_tick"] = time.time()
+    if label is not None:
+        _STATE["inflight"] = label
+
+
+def _elapsed():
+    return time.time() - _STATE["t_start"]
+
+
+def _progress(key, row):
+    """Record a completed row: flush to stderr + the partial file."""
+    _STATE["detail"][key] = row
+    _tick()
+    print(f"[bench +{_elapsed():.0f}s] {key}: {json.dumps(row)[:200]}",
+          file=sys.stderr, flush=True)
+    try:
+        with open("/tmp/bench_partial.json", "w") as f:
+            json.dump(_STATE["detail"], f)
+    except OSError:
+        pass
+
+
+def _emit(note=None):
+    """Assemble + print the one JSON line from whatever completed.
+    Idempotent (first caller wins) — the watchdog and main both call it."""
+    with _EMIT_LOCK:
+        if _STATE["emitted"]:
+            return
+        _STATE["emitted"] = True
+    detail = _STATE["detail"]
+    row_4m = detail.get(str(4_194_304), {})
+    frame_4m = row_4m.get("frame_ms")
+    ms_4m = row_4m.get("ms_per_step")
+    if isinstance(frame_4m, (int, float)):
+        value, headline = frame_4m, "frame_ms"
+    else:
+        value, headline = ms_4m, "ms_per_step"
+    out = {
+        "metric": "frame_time_ms_at_4M_particles",
+        "value": value,
+        "unit": "ms/frame" if headline == "frame_ms" else "ms/step",
+        "vs_baseline": (round(BASELINE_MS[4_194_304] / value, 3)
+                        if isinstance(value, (int, float)) and value
+                        else None),
+        "headline": headline,
+        "degraded_mode": _STATE["degraded"],
+        "elapsed_s": round(_elapsed(), 1),
+        "detail": detail,
+    }
+    if note:
+        out["note"] = note
+    try:
+        out["device"] = str(jax.devices()[0])
+    except Exception:
+        pass
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog():
+    """Enforce the hard deadline and the no-progress stall bound; on
+    either, print the final JSON from completed rows and exit.  os._exit
+    is deliberate: the hung device call cannot be joined, and the driver
+    killing us later (rc=124, zero output) is strictly worse."""
+    while not _STATE["emitted"]:
+        time.sleep(5)
+        now = time.time()
+        note = None
+        if now - _STATE["t_start"] > _HARD_DEADLINE_S:
+            note = (f"hard deadline {_HARD_DEADLINE_S:.0f}s hit; "
+                    f"in-flight: {_STATE['inflight']}")
+        elif now - _STATE["last_tick"] > _STALL_S:
+            note = (f"no progress for {_STALL_S:.0f}s (runtime stall); "
+                    f"in-flight: {_STATE['inflight']}")
+        if note:
+            print(f"[bench watchdog] {note}", file=sys.stderr, flush=True)
+            _emit(note=note)
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
+
+
+# ---------------------------------------------------------------------------
+# measurements
+# ---------------------------------------------------------------------------
 
 def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
     from gpu_physics_engine_tpu import SimConfig
@@ -123,6 +250,7 @@ def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
                     tiled_uniform_radius=uniform, tiled_newton=newton,
                     **_overrides(n))
     try:
+        _tick(f"tiled {n}: init+settle")
         eng = TiledEngine(cfg, seed=0, chunk=chunk)
         eng.run(SETTLE)
     except Exception:
@@ -138,6 +266,7 @@ def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
             raise
         return measure_tiled(n, uniform=False, newton=False)
     of0 = float(eng.state.overflow_count)  # fetch = device sync
+    _tick(f"tiled {n}: windows")
     # two independent fetch-synced windows, min taken: each window spans
     # two full 240-step maintenance cycles (honest steady-state), but a
     # single window is exposed to one-off multi-second runtime/relay
@@ -148,6 +277,7 @@ def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
         eng.run(WINDOW)
         float(eng.state.x[0, 0, 0])
         ms = min(ms, (time.perf_counter() - t0) / WINDOW * 1e3)
+        _tick()
     # deferral events are only counted at relocate steps: x interval =
     # the deferred-population fraction (PERF.md "Relocate interval");
     # events accumulated over both timed windows
@@ -165,15 +295,13 @@ def measure_tiled(n: int, uniform: bool = True, newton: bool = _NEWTON):
     return ms, defer_pct, stale_pct, eng, variants
 
 
-FRAME_WINDOW = 240  # timed sim+render frames per size
-
-
 def measure_frames(eng) -> float:
     """The reference's actual metric: ms per frame where every frame
     runs sim AND the device render (state.rs:115-140 submits both every
     frame; BASELINE.md numbers include the render pass).  Scanned
     windows, checksum fetch = sync."""
     eng.render_run(FRAME_WINDOW)  # compile + settle the fused window
+    _tick()
     t0 = time.perf_counter()
     eng.render_run(FRAME_WINDOW)
     return (time.perf_counter() - t0) / FRAME_WINDOW * 1e3
@@ -189,6 +317,7 @@ def measure_render(eng):
     host display cadence, not device rendering."""
     from gpu_physics_engine_tpu.render.device import render_throughput_ms
     dev_ms = render_throughput_ms(eng.state, eng.config)
+    _tick()
     eng.render_frame()  # compile the dispatch path
     t0 = time.perf_counter()
     for _ in range(3):
@@ -196,7 +325,7 @@ def measure_render(eng):
     return dev_ms, (time.perf_counter() - t0) / 3 * 1e3
 
 
-def measure_gs(n: int) -> dict:
+def measure_gs(n: int, with_frames: bool = False) -> dict:
     """Reference-EXACT Gauss-Seidel semantics (tiled_solver="gs",
     collision_solver.wgsl:26-118 ordered sweeps) at the round-3 tuned
     GS geometry.  The GS grid is world-fixed (2.65M cells), so cost is
@@ -215,26 +344,40 @@ def measure_gs(n: int) -> dict:
                     tiled_uniform_radius=True, tiled_match=match,
                     sort_interval_steps=sweep_iv, tiled_sweep=sweep_mech,
                     **GS_FLAGS)
+    _tick(f"gs {n}: init+settle")
     eng = TiledEngine(cfg, seed=0, chunk=64)
     eng.run(288)  # settles past the first 240-step sweep compile
     float(eng.state.x[0, 0, 0])
+    _tick(f"gs {n}: windows")
     ms = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         eng.run(240)
         float(eng.state.x[0, 0, 0])
         ms = min(ms, (time.perf_counter() - t0) / 240 * 1e3)
+        _tick()
     # storage-health columns (PERF.md "GS reference semantics"): the
     # stale-pair fraction is the one divergence class vs the
     # reference's rebuilt-every-frame grid; watchdog events show any
     # live mitigation that ran inside the timed windows.
     stale = round(float(eng._stale_frac(eng.state)) * 100.0, 4)
     wd = eng.watchdog_events
+    row = {"ms_per_step": round(ms, 3), "cap": cap,
+           "sweep_interval": sweep_iv, "sweep": sweep_mech,
+           "stale_pct": stale, "wd_events": wd,
+           "vs_baseline": round(BASELINE_MS[n] / ms, 3)}
+    if with_frames:
+        # the reference's frame metric on the reference-exact solver
+        # (render_run covers the parity-GS chunk since round 4)
+        try:
+            _tick(f"gs {n}: frames")
+            frame_ms = measure_frames(eng)
+            row["frame_ms"] = round(frame_ms, 3)
+            row["frame_vs_baseline"] = round(BASELINE_MS[n] / frame_ms, 3)
+        except Exception as e:
+            row["frame_ms"] = f"error: {type(e).__name__}"[:80]
     del eng
-    return {"ms_per_step": round(ms, 3), "cap": cap,
-            "sweep_interval": sweep_iv, "sweep": sweep_mech,
-            "stale_pct": stale, "wd_events": wd,
-            "vs_baseline": round(BASELINE_MS[n] / ms, 3)}
+    return row
 
 
 def measure_substeps2() -> float:
@@ -250,6 +393,7 @@ def measure_substeps2() -> float:
     eng = TiledEngine(cfg, seed=0, chunk=chunk)
     eng.run(128)
     float(eng.state.x[0, 0, 0])
+    _tick()
     t0 = time.perf_counter()
     eng.run(96)
     float(eng.state.x[0, 0, 0])
@@ -257,16 +401,17 @@ def measure_substeps2() -> float:
 
 
 def main():
+    global SETTLE, WINDOW, FRAME_WINDOW
     if not _wait_for_relay():
         print(json.dumps({
             "metric": "frame_time_ms_at_4M_particles",
             "value": None, "unit": "ms/step", "vs_baseline": None,
             "error": "TPU tunnel relay unreachable (ports 8082/8083/8087 "
                      f"refused for {_RELAY_DEADLINE_S}s); device unavailable",
-        }))
+        }), flush=True)
         sys.exit(0)
-    if not _runtime_alive():
-        import os
+    alive, fetch_s = _runtime_alive()
+    if not alive:
         print(json.dumps({
             "metric": "frame_time_ms_at_4M_particles",
             "value": None, "unit": "ms/step", "vs_baseline": None,
@@ -274,17 +419,31 @@ def main():
                      f"scalar fetch hung > {_RUNTIME_DEADLINE_S}s",
         }), flush=True)
         os._exit(0)  # the stuck fetch thread cannot be joined
-    t_start = time.time()
-    soft_deadline_s = 2100  # skip remaining configs rather than hang the driver
-    detail = {}
+    degraded = fetch_s > _DEGRADED_FETCH_S
+    _STATE["degraded"] = degraded
+    _STATE["t_start"] = time.time()
+    _STATE["last_tick"] = time.time()
+    if degraded:
+        # a sick compile service: halve every window, keep only the
+        # headline-critical rows, and let the watchdog cut us off with
+        # whatever landed
+        SETTLE, WINDOW, FRAME_WINDOW = 240, 240, 120
+        print(f"[bench] DEGRADED mode (liveness fetch {fetch_s:.0f}s)",
+              file=sys.stderr, flush=True)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    soft_deadline_s = _HARD_DEADLINE_S - 300  # leave room for GS/render rows
+    detail = _STATE["detail"]
     order = [4_194_304, 1_048_576, 100_000, 256_000, 512_000, 756_000,
              2_000_000, 3_000_000]  # headline sizes first
+    if degraded:
+        order = [4_194_304, 1_048_576, 2_000_000]
     eng_4m = None
     for n in order:
         # past the deadline, skip remaining sizes as long as SOMETHING
         # was measured (the headline runs first)
-        if time.time() - t_start > soft_deadline_s and detail:
-            detail[str(n)] = {"skipped": "soft deadline"}
+        if _elapsed() > soft_deadline_s and detail:
+            _progress(str(n), {"skipped": "soft deadline"})
             continue
         try:
             ms, defer_pct, stale_pct, eng, variants = measure_tiled(n)
@@ -300,8 +459,9 @@ def main():
             # the reference's metric: sim + render in one loop
             # (VERDICT r2 item 3) + per-size device render cost
             try:
-                if time.time() - t_start > soft_deadline_s:
+                if _elapsed() > soft_deadline_s:
                     raise TimeoutError("soft deadline")
+                _tick(f"tiled {n}: frames")
                 frame_ms = measure_frames(eng)
                 row["frame_ms"] = round(frame_ms, 3)
                 row["frame_vs_baseline"] = round(
@@ -311,53 +471,48 @@ def main():
             try:
                 from gpu_physics_engine_tpu.render.device import (
                     render_throughput_ms)
+                _tick(f"tiled {n}: render")
                 row["render_ms"] = round(render_throughput_ms(
                     eng.state, eng.config), 2)
             except Exception as e:
                 row["render_ms"] = f"error: {type(e).__name__}"[:80]
-            detail[str(n)] = row
+            _progress(str(n), row)
             if n == 4_194_304:
                 eng_4m = eng
             else:
                 del eng
         except Exception as e:
-            detail[str(n)] = {"error": f"{type(e).__name__}: {e}"[:160]}
+            _progress(str(n), {"error": f"{type(e).__name__}: {e}"[:160]})
     if eng_4m is not None:
         try:
+            _tick("render 4m")
             dev_ms, e2e_ms = measure_render(eng_4m)
-            detail["render_4m_ms"] = round(dev_ms, 2)
-            detail["render_4m_download_ms"] = round(e2e_ms, 1)
+            _progress("render_4m_ms", round(dev_ms, 2))
+            _progress("render_4m_download_ms", round(e2e_ms, 1))
         except Exception as e:
-            detail["render_4m_ms"] = f"error: {type(e).__name__}"[:80]
+            _progress("render_4m_ms", f"error: {type(e).__name__}"[:80])
         del eng_4m
-    if time.time() - t_start < soft_deadline_s:
+    if not degraded and _elapsed() < soft_deadline_s:
         try:
-            detail["substeps2_4m_ms"] = round(measure_substeps2(), 3)
+            _tick("substeps2 4m")
+            _progress("substeps2_4m_ms", round(measure_substeps2(), 3))
         except Exception as e:
-            detail["substeps2_4m_ms"] = f"error: {type(e).__name__}"[:80]
+            _progress("substeps2_4m_ms", f"error: {type(e).__name__}"[:80])
     # reference-exact GS rows (flat in n — PERF.md has the full curve).
     # 1M anchors the dilute pole; 2M/3M/4M are the loaded class where
     # the world-fixed GS grid cost meets/beats the reference's own GPU.
-    for gs_n, key in ((1_048_576, "gs_1m"), (2_000_000, "gs_2m"),
-                      (3_000_000, "gs_3m"), (4_194_304, "gs_4m")):
-        if time.time() - t_start > soft_deadline_s:
+    gs_rows = ((1_048_576, "gs_1m"), (2_000_000, "gs_2m"),
+               (3_000_000, "gs_3m"), (4_194_304, "gs_4m"))
+    if degraded:
+        gs_rows = ((4_194_304, "gs_4m"),)
+    for gs_n, key in gs_rows:
+        if _elapsed() > soft_deadline_s:
             break
         try:
-            detail[key] = measure_gs(gs_n)
+            _progress(key, measure_gs(gs_n, with_frames=(key == "gs_4m")))
         except Exception as e:
-            detail[key] = {"error": f"{type(e).__name__}: {e}"[:120]}
-
-    ms_4m = detail.get(str(4_194_304), {}).get("ms_per_step")
-    out = {
-        "metric": "frame_time_ms_at_4M_particles",
-        "value": ms_4m,
-        "unit": "ms/step",
-        "vs_baseline": (round(BASELINE_MS[4_194_304] / ms_4m, 3)
-                        if ms_4m else None),
-        "detail": detail,
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(out))
+            _progress(key, {"error": f"{type(e).__name__}: {e}"[:120]})
+    _emit()
 
 
 if __name__ == "__main__":

@@ -65,12 +65,22 @@ def cache_dir(base: str = "/tmp/gpe_tpu_jax_cache") -> str:
     return f"{base}_{fp}"
 
 
-def enable_persistent_cache(min_compile_secs: float = 0.5) -> str:
-    """Point JAX's persistent compilation cache at the fingerprinted
-    directory (honoring an explicit JAX_COMPILATION_CACHE_DIR override)
-    and return the directory used."""
+def enable_persistent_cache(min_compile_secs: float = 0.5,
+                            base: str = "/tmp/gpe_tpu_jax_cache",
+                            salt: bool = True) -> str:
+    """Point JAX's persistent compilation cache at the cache directory
+    (honoring an explicit JAX_COMPILATION_CACHE_DIR override) and return
+    the directory used.
+
+    ``salt=True`` (default) uses the host-fingerprinted directory — the
+    safe choice for anything that may run XLA:CPU (foreign CPU-AOT
+    entries load and drift, see module docstring).  ``salt=False`` uses
+    ``base`` directly: the TPU-tunnel scripts share one unsalted dir so
+    probe-warmed remote-compile entries pre-warm the driver bench
+    (remote-TPU entries carry no foreign-machine CPU-AOT risk)."""
     import jax
-    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or cache_dir()
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or (
+        cache_dir(base) if salt else base)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
