@@ -400,6 +400,36 @@ def measure_substeps2() -> float:
     return (time.perf_counter() - t0) / 96 * 1e3
 
 
+def measure_16m() -> dict:
+    """Beyond the reference's 4M ceiling: 16M particles in a 4x world
+    (same density class), the single-chip scaling headroom row.
+    Geometry from scripts/tpu_probe_16m.py (round-2 hardware: 30.4
+    ms/step)."""
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    n = 1 << 24
+    cfg = SimConfig(max_particles=n, initial_particles=n,
+                    world_width=6096.0, world_height=2096.0,
+                    pipeline="tiled", tile_cap=8, tile_multiplier=3.3,
+                    tiled_uniform_radius=True, tiled_newton=_NEWTON)
+    _tick("16m: init+settle")
+    eng = TiledEngine(cfg, seed=0)
+    eng.run(64)
+    float(eng.state.x[0, 0, 0])
+    _tick("16m: windows")
+    ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.run(48)
+        float(eng.state.x[0, 0, 0])
+        ms = min(ms, (time.perf_counter() - t0) / 48 * 1e3)
+        _tick()
+    del eng
+    return {"ms_per_step": round(ms, 3),
+            "particle_steps_per_sec": round(n / ms * 1e3),
+            "note": "4x the reference's max size (its curve ends at 4M)"}
+
+
 def main():
     global SETTLE, WINDOW, FRAME_WINDOW
     if not _wait_for_relay():
@@ -512,6 +542,13 @@ def main():
             _progress(key, measure_gs(gs_n, with_frames=(key == "gs_4m")))
         except Exception as e:
             _progress(key, {"error": f"{type(e).__name__}: {e}"[:120]})
+    # beyond-reference scaling row (cheap when the cache is warm; the
+    # watchdog bounds it like everything else)
+    if not degraded and _elapsed() < soft_deadline_s:
+        try:
+            _progress("scale_16m", measure_16m())
+        except Exception as e:
+            _progress("scale_16m", {"error": f"{type(e).__name__}: {e}"[:120]})
     _emit()
 
 
