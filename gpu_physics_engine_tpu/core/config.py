@@ -125,6 +125,17 @@ class SimConfig:
     # cadence/cap, tpu_probe_gs4m_cadence.jsonl).  The watchdog's
     # forced sweep uses whichever is configured.
     tiled_sweep: str = "relocate"
+    # HYBRID sweep: with tiled_sweep="relocate", run the wholesale
+    # rebuild instead on every k-th periodic sweep (0 = never).  The
+    # round-4 long-horizon probe (docs/probes_r4/
+    # tpu_probe_prod_rebuild.jsonl) showed the two pure mechanisms each
+    # losing somewhere: the relocate sweep leaves a compounding
+    # displacement-chain residue (256k tuned row jammed at ~12k steps,
+    # watchdog x7), while rebuild-every-sweep costs ~113 ms at the 512k
+    # geometry (+44%/step at cadence 240).  Rebuilding every k-th sweep
+    # bounds the chain residue at the k-cadence accumulation for ~1/k
+    # of the rebuild tax.
+    tiled_rebuild_every: int = 0
     # collide backend: "pallas" (ops/tiled_pallas.py band kernel), "jnp",
     # or "auto" (pallas on TPU, jnp elsewhere — interpret mode is test-only)
     tiled_collide: str = "auto"

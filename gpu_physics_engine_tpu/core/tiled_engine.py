@@ -127,7 +127,16 @@ class TiledEngine:
                 lambda s, off: tiled.relocate(s, config, m_cap=sweep_cap,
                                               tile_offset=off),
                 donate_argnums=0)
+        # hybrid sweep (tiled_rebuild_every=k): every k-th periodic
+        # sweep runs the wholesale rebuild instead of the budgeted
+        # relocate — chain residue bounded at the k-cadence
+        # accumulation for 1/k of the rebuild tax (config.py rationale)
+        self._sweep_rb = (jax.jit(
+            lambda s, off: tiled.rebuild(s, config), donate_argnums=0)
+            if config.tiled_rebuild_every > 0
+            and config.tiled_sweep != "rebuild" else None)
         self._sweep_count = 0
+        self.rebuild_sweeps = 0  # diagnostic: hybrid rebuilds run
         pallas_reloc = config.tiled_relocate == "pallas" or (
             config.tiled_relocate == "auto"
             and jax.default_backend() == "tpu")
@@ -259,9 +268,11 @@ class TiledEngine:
         if self._wd_level >= 3:
             self._retile_cap(self.config.tile_cap + 1)
             self._wd_level = 2  # cap growth is repeatable
-        # every level drains the backlog with the exact sweep so the
-        # next boundary measures the mitigated config, not the backlog
-        self.state = self._sweep(self.state, self._sweep_off())
+        # every level drains the backlog with the strongest available
+        # sweep (the rebuild when the hybrid is configured) so the next
+        # boundary measures the mitigated config, not the backlog
+        self.state = (self._sweep_rb or self._sweep)(
+            self.state, self._sweep_off())
         self._since_reloc = 0
         self._wd_prev = float(self._stale_frac(self.state)) * 100.0
 
@@ -282,10 +293,41 @@ class TiledEngine:
         rect = jnp.asarray(autofit_rect(config, width, height),
                            jnp.float32)
 
+        if self._gs_par:
+            # parity-GS frame loop: convert full <-> parity ONCE around
+            # the window (same amortization as the sim chunk) and render
+            # each frame directly from parity space
+            # (render/device.render_parity_core) — recomposing per frame
+            # would reintroduce the mx relayout tax the layout avoids
+            from gpu_physics_engine_tpu.ops.gs_parity import (
+                from_parity, gs_parity_step_fn, to_parity)
+            from gpu_physics_engine_tpu.render.device import (
+                render_parity_core)
+            _, TY, TX = tiled.tile_geometry(config)
+
+            def _pchunk(carry, p):
+                s, a = carry
+
+                def body(c, _):
+                    pc, a = c
+                    pc = gs_parity_step_fn(pc, p, config)
+                    img = render_parity_core(pc[0], rect, config,
+                                             width, height, TY, TX)
+                    return (pc, a + jnp.sum(img.astype(jnp.int32))), None
+
+                (pc, a), _ = jax.lax.scan(body, (to_parity(s, config), a),
+                                          None, length=k)
+                return from_parity(pc, s, config), a
+
+            self._frame_chunks[key] = jax.jit(_pchunk, donate_argnums=0)
+            return self._frame_chunks[key]
+
         def _frame(s, p, a):
             img = _render_core(s.x, s.y, s.px, s.py, s.radius, s.pid,
                                rect, config, width, height)
-            return a + img[0, 0, 0].astype(jnp.int32)
+            # full-image modular sum: a corner pixel is black in most
+            # scenes and would make the checksum vacuous
+            return a + jnp.sum(img.astype(jnp.int32))
 
         def _fgroup(carry, p, m):
             s, a = carry
@@ -312,11 +354,14 @@ class TiledEngine:
         """run() with the device render fused after EVERY step — the
         reference's published frame loop (sim + render per frame).
         Returns the window's frame checksum (fetching it is the honest
-        device sync).  Big-overlay scenes and the parity-GS chunk are
-        not supported here (bench scenes have neither)."""
-        if self.big is not None or self._gs_par:
+        device sync).  Covers the production tiled path AND the
+        parity-GS chunk (render/device.render_parity_core renders from
+        parity space, so the reference-exact solver can be measured
+        under the reference's own frame metric); big-overlay scenes are
+        not supported here (bench scenes have none)."""
+        if self.big is not None:
             raise NotImplementedError(
-                "render_run covers the production tiled path")
+                "render_run does not cover big-overlay scenes")
         p = self.params()
         interval = self._sweep_interval
         acc = jnp.int32(0)
@@ -324,7 +369,7 @@ class TiledEngine:
         while done < n_steps:
             if (interval and self._steps_done
                     and self._steps_done % interval == 0):
-                self.state = self._sweep(self.state, self._sweep_off())
+                self.state = self._run_sweep()
                 self._since_reloc = 0
             bound = n_steps - done
             if interval:
@@ -459,6 +504,17 @@ class TiledEngine:
         self._sweep_count += 1
         return np.int32((self._sweep_count * 2654435761) & 0x7FFFFFFF)
 
+    def _run_sweep(self):
+        """One periodic sweep: the configured mechanism, with every
+        k-th call upgraded to the wholesale rebuild when the hybrid is
+        on (config.tiled_rebuild_every)."""
+        off = self._sweep_off()  # increments _sweep_count
+        k = self.config.tiled_rebuild_every
+        if self._sweep_rb is not None and k and self._sweep_count % k == 0:
+            self.rebuild_sweeps += 1
+            return self._sweep_rb(self.state, off)
+        return self._sweep(self.state, off)
+
     def _reloc_off(self) -> bool:
         """True when this step may skip the relocate (the counter of
         steps since the last relocating step hasn't spent the
@@ -469,7 +525,7 @@ class TiledEngine:
     def step(self, params: Optional[StepParams] = None):
         interval = self._sweep_interval
         if interval and self._steps_done and self._steps_done % interval == 0:
-            self.state = self._sweep(self.state, self._sweep_off())
+            self.state = self._run_sweep()
             self._since_reloc = 0  # the exact sweep restores storage==home
         off_phase = self._reloc_off()
         if self.big is not None:
@@ -496,7 +552,7 @@ class TiledEngine:
         while done < n_steps:
             if (interval and self._steps_done
                     and self._steps_done % interval == 0):
-                self.state = self._sweep(self.state, self._sweep_off())
+                self.state = self._run_sweep()
                 self._since_reloc = 0
             # largest whole chunk that stays inside the sweep cadence and
             # the sync_every request

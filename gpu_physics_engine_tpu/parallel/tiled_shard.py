@@ -462,6 +462,13 @@ class ShardedTiledEngine:
                 "tiled_sweep='rebuild' is single-chip only: the sharded "
                 "engine's periodic exact sweep is the slab claim sweep "
                 "(set tiled_sweep='relocate' or run single-chip)")
+        if config.tiled_rebuild_every:
+            # same exclusion as above: the hybrid's k-th sweep IS the
+            # global rebuild
+            raise ValueError(
+                "tiled_rebuild_every is single-chip only (the hybrid's "
+                "k-th sweep is the global rebuild; see the "
+                "tiled_sweep='rebuild' exclusion)")
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self._key = jax.random.key(seed)

@@ -68,13 +68,18 @@ def _velocity_rgb(vx, vy):
     return r, g, b
 
 
-def _bilinear_weights(out_px: int, x0, x1, centers, normalize: bool = True):
+def _bilinear_weights(out_px: int, x0, x1, centers, normalize: bool = True,
+                      spacing=None):
     """[out_px, n_src] bilinear weights: output pixel centers sampled over
     source sample centers (both in world units).  ``normalize=False``
     returns raw tent weights — callers summing several sample grids
-    normalize once at the end (separable row-sum outer product)."""
+    normalize once at the end (separable row-sum outer product).
+    ``spacing`` overrides the tent width when ``centers`` is a strided
+    subset of a finer grid (the parity renderer passes the FULL grid
+    pitch so each center keeps the same tent it has in full space)."""
     n = centers.shape[0]
-    spacing = jnp.maximum(centers[1] - centers[0], 1e-6)
+    if spacing is None:
+        spacing = jnp.maximum(centers[1] - centers[0], 1e-6)
     ox = x0 + (jnp.arange(out_px, dtype=jnp.float32) + 0.5) / out_px * (x1 - x0)
     d = jnp.abs(ox[:, None] - centers[None, :]) / spacing
     w = jnp.maximum(0.0, 1.0 - d)
@@ -221,6 +226,97 @@ def render_throughput_ms(state: TileState, config: SimConfig,
         int(c)  # fetch = device sync
         best.append((time.perf_counter() - t0) / frames * 1e3)
     return sorted(best)[1]
+
+
+def render_parity_core(subs, rect, config: SimConfig, width: int,
+                       height: int, TY: int, TX: int):
+    """_render_core for PARITY-SPACE GS state (ops/gs_parity.to_parity
+    layout: ``subs[field][(pa, pb)][c, si, sj] = full[c, 2*si+pa,
+    2*sj+pb]``) — lets render_run fuse the device render into the
+    parity-GS frame loop WITHOUT recomposing to full space per frame
+    (the per-step mx relayout tax is what the parity layout exists to
+    avoid, ops/gs_parity.py module docstring).
+
+    Identical math to _render_core: the brightest-wins composite is
+    per-tile (tiles are disjoint across parities, so compositing each
+    parity's sub-grid is exact), and the resample already sums several
+    sample grids with one separable normalization — the four parity
+    grids just join the subsample grids in that union, each keeping the
+    full-grid tent width.  Parity pad tiles (beyond TY/TX) carry
+    pid = -1 (black) and their resample weights are masked so the
+    normalization matches full space.  Float accumulation ORDER differs
+    from _render_core, so outputs agree to f32 rounding (~1e-6), not
+    bitwise."""
+    t, _, _ = tile_geometry(config)
+    tf = jnp.float32(t)
+    S = config.render_supersample
+    spacing = t / S
+    x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
+    bf = jnp.bfloat16
+    r0 = jnp.float32(config.initial_radius)
+
+    def sample_planes(pa: int, pb: int, i: int, j: int):
+        f = {n: subs[n][(pa, pb)] for n in subs}
+        x, y, pid = f["x"], f["y"], f["pid"]
+        radius = f["r"] if "r" in f else jnp.where(pid >= 0, r0, 0.0)
+        occ = pid >= 0
+        si = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        sj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+        cy = ((2 * si + pa).astype(jnp.float32)
+              - 1.0 + (i + 0.5) / S) * tf
+        cx = ((2 * sj + pb).astype(jnp.float32)
+              - 1.0 + (j + 0.5) / S) * tf
+        span = jnp.maximum(2.0 * radius, jnp.float32(1.5 * spacing))
+        r2 = jnp.maximum(span * span, 1e-8)
+        dx = x - cx
+        dy = y - cy
+        alpha = 1.0 - _smoothstep(0.2304, 0.25, (dx * dx + dy * dy) / r2)
+        alpha = jnp.where(occ, alpha, 0.0)
+        best = jnp.argmax(alpha, axis=0)
+        amax = jnp.max(alpha, axis=0)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+                  == best[None])
+        take = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=0)
+        return [c * amax for c in
+                _velocity_rgb(take(x - f["px"]), take(y - f["py"]))]
+
+    acc = [jnp.zeros((height, width), jnp.float32) for _ in range(3)]
+    ny = jnp.zeros((height,), jnp.float32)
+    nx = jnp.zeros((width,), jnp.float32)
+    shapes = subs["pid"]
+    for pa in (0, 1):
+        SY = shapes[(pa, 0)].shape[1]
+        basey = 2.0 * jnp.arange(SY, dtype=jnp.float32) + pa
+        rowvalid = (basey < TY).astype(jnp.float32)
+        for i in range(S):
+            row_centers = (basey - 1.0 + (i + 0.5) / S) * tf
+            wy = _bilinear_weights(height, y0, y1, row_centers,
+                                   normalize=False, spacing=tf)
+            wy = wy * rowvalid[None, :]
+            ny = ny + wy.sum(axis=1)     # once per (row parity, i)
+            wyb = wy.astype(bf)
+            for pb in (0, 1):
+                SX = shapes[(pa, pb)].shape[2]
+                basex = 2.0 * jnp.arange(SX, dtype=jnp.float32) + pb
+                colvalid = (basex < TX).astype(jnp.float32)
+                for j in range(S):
+                    col_centers = (basex - 1.0 + (j + 0.5) / S) * tf
+                    wx = _bilinear_weights(width, x0, x1, col_centers,
+                                           normalize=False, spacing=tf)
+                    wx = wx * colvalid[None, :]
+                    if pa == 0 and i == 0:
+                        nx = nx + wx.sum(axis=1)  # once per (col parity, j)
+                    wxT = wx.T.astype(bf)
+                    for c, p in enumerate(sample_planes(pa, pb, i, j)):
+                        o = jax.lax.dot(p.astype(bf), wxT,
+                                        preferred_element_type=jnp.float32)
+                        acc[c] = acc[c] + jax.lax.dot(
+                            wyb, o.astype(bf),
+                            preferred_element_type=jnp.float32)
+    norm = jnp.maximum(ny[:, None] * nx[None, :], 1e-6)
+    out = jnp.stack([a / norm for a in acc], axis=-1)     # [H, W, 3]
+    out = out[::-1]  # world y-up -> image y-down
+    return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
 
 def render_tiles_device(state: TileState, config: SimConfig,

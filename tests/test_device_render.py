@@ -147,9 +147,9 @@ def test_render_run_matches_plain_run():
     """render_run = run() with the device composite fused after every
     step (the reference's frame loop, state.rs:115-140): the sim
     trajectory must be IDENTICAL to plain run(), and repeated windows
-    must keep advancing.  (The return value is a corner-pixel sync
-    anchor — forcing it is the honest device sync — not a content
-    checksum; content parity is covered by the render_frame tests.)"""
+    must keep advancing.  (The return value is a full-image modular
+    sum — forcing it is the honest device sync; content parity is
+    covered by the render_frame tests.)"""
     cfg = _cfg(max_particles=48, initial_particles=32,
                tiled_collide="jnp")
     a = TiledEngine(cfg, seed=0)

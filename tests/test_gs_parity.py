@@ -160,6 +160,69 @@ def test_parity_engine_wiring():
     assert np.isfinite(np.asarray(eng.state.x)).all()
 
 
+def test_render_parity_core_matches_full_space():
+    """render_parity_core (the parity-GS frame loop's renderer) must
+    produce the same image as _render_core on the recomposed full-space
+    state — same composite, same resample union, only the f32
+    accumulation order differs (tolerance 1 u8 step)."""
+    from gpu_physics_engine_tpu.ops.gs_parity import to_parity
+    from gpu_physics_engine_tpu.render.device import (autofit_rect,
+                                                      render_parity_core,
+                                                      render_tiles_device)
+    import jax.numpy as jnp
+    cfg = _dense_cfg()
+    st = _init(cfg)
+    W, H = 64, 32
+    full = render_tiles_device(st, cfg, width=W, height=H)
+    _, TY, TX = tiled.tile_geometry(cfg)
+    subs, _, _ = to_parity(st, cfg)
+    rect = jnp.asarray(autofit_rect(cfg, W, H), jnp.float32)
+    par = np.asarray(render_parity_core(subs, rect, cfg, W, H, TY, TX))
+    d = np.abs(full.astype(np.int32) - par.astype(np.int32))
+    assert d.max() <= 1, f"max u8 delta {d.max()}"
+    # and it actually drew something
+    assert int(full.astype(np.int64).sum()) > 0
+
+
+def test_render_parity_core_nonuniform_radius():
+    """The non-uniform branch carries the radius planes through parity
+    space (subs['r']) instead of reconstructing from r0."""
+    from gpu_physics_engine_tpu.ops.gs_parity import to_parity
+    from gpu_physics_engine_tpu.render.device import (autofit_rect,
+                                                      render_parity_core,
+                                                      render_tiles_device)
+    import dataclasses
+    import jax.numpy as jnp
+    cfg = _dense_cfg(tiled_uniform_radius=False)
+    st = _init(cfg)
+    rad = np.asarray(st.radius).copy()
+    rad[rad > 0] *= 0.7  # break uniformity
+    st = dataclasses.replace(st, radius=jnp.asarray(rad))
+    W, H = 64, 32
+    full = render_tiles_device(st, cfg, width=W, height=H)
+    _, TY, TX = tiled.tile_geometry(cfg)
+    subs, _, _ = to_parity(st, cfg)
+    assert "r" in subs
+    rect = jnp.asarray(autofit_rect(cfg, W, H), jnp.float32)
+    par = np.asarray(render_parity_core(subs, rect, cfg, W, H, TY, TX))
+    d = np.abs(full.astype(np.int32) - par.astype(np.int32))
+    assert d.max() <= 1, f"max u8 delta {d.max()}"
+
+
+def test_render_run_parity_gs_trajectory_lock():
+    """render_run on gs_layout='par' must advance the simulation
+    bit-identically to plain run() (the render only observes state) and
+    return a nonzero checksum."""
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    cfg = _dense_cfg(gs_layout="par")
+    a = TiledEngine(cfg, seed=0, chunk=2)
+    b = TiledEngine(cfg, seed=0, chunk=2)
+    acc = a.render_run(2, width=32, height=16)
+    b.run(2)
+    _assert_state_equal(a.state, b.state)
+    assert acc != 0
+
+
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-v"]))

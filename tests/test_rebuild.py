@@ -120,6 +120,29 @@ def test_engine_sweep_rebuild_hook():
     assert float(eng._stale_frac(eng.state)) <= 0.05
 
 
+def test_engine_hybrid_rebuild_every():
+    """tiled_rebuild_every=k: every k-th periodic sweep runs the
+    wholesale rebuild (counted in eng.rebuild_sweeps), the others stay
+    the budgeted relocate; nobody is lost and physics stays finite."""
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    cfg = _cfg(max_particles=128, initial_particles=96,
+               sort_interval_steps=8, tiled_rebuild_every=2)
+    eng = TiledEngine(cfg, seed=0, chunk=4)
+    assert eng._sweep_rb is not None
+    eng.run(40)  # 4 sweep boundaries (steps 8, 16, 24, 32 inside run)
+    assert eng._sweep_count >= 4
+    # every 2nd sweep was a rebuild
+    assert eng.rebuild_sweeps == eng._sweep_count // 2
+    p = eng.positions()
+    assert np.isfinite(p).all()
+    assert len(p) == 96
+    # pure-rebuild config must NOT build the hybrid twin
+    cfg2 = _cfg(max_particles=128, initial_particles=96,
+                sort_interval_steps=8, tiled_sweep="rebuild",
+                tiled_rebuild_every=2)
+    assert TiledEngine(cfg2, seed=0, chunk=4)._sweep_rb is None
+
+
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-v"]))
