@@ -135,8 +135,11 @@ class TiledEngine:
             lambda s, off: tiled.rebuild(s, config), donate_argnums=0)
             if config.tiled_rebuild_every > 0
             and config.tiled_sweep != "rebuild" else None)
-        self._sweep_count = 0
-        self.rebuild_sweeps = 0  # diagnostic: hybrid rebuilds run
+        # counters survive recompiles (the watchdog's hysteresis-off
+        # escalation calls _build_compiled mid-run; resetting would skew
+        # the hybrid's rebuild phase and the rebuild_sweeps diagnostic)
+        self._sweep_count = getattr(self, "_sweep_count", 0)
+        self.rebuild_sweeps = getattr(self, "rebuild_sweeps", 0)
         pallas_reloc = config.tiled_relocate == "pallas" or (
             config.tiled_relocate == "auto"
             and jax.default_backend() == "tpu")

@@ -71,6 +71,21 @@ TUNED_TILE_GEOMETRY = {
 # steps) and MUST be off; at the coarse-tile small sizes turning it
 # off floods the matcher and jams the other way.
 TUNED_OVERRIDES = {
+    # Round-4 21k-step horizon verdicts (docs/probes_r4/
+    # tpu_probe_prod_rebuild.jsonl + tpu_probe_hybrid.jsonl; PERF.md
+    # "The small-size sweep verdict"): the budgeted relocate sweep's
+    # displacement-chain residue jams 256k (watchdog x7) and creeps
+    # 512k; the hybrid (tiled_rebuild_every) still goes watchdog-
+    # dependent at both (the relocate sweeps between rebuilds feed the
+    # jam).  Wholesale rebuild every 240-step sweep is watchdog-free
+    # at all three small sizes and costs nothing at 100k/256k
+    # (rebuild 19.5/54.6 ms there; 0.330/0.846 ms/step measured vs
+    # 0.326/0.725 tuned).
+    100_000: dict(tiled_sweep="rebuild"),
+    256_000: dict(tiled_sweep="rebuild"),
+    512_000: dict(tiled_sweep="rebuild"),  # 1.541 ms (+44%) — the
+    # stability price at this geometry (rebuild 126.9 ms: 2.05M slots);
+    # hy8/hy4 both watchdog-dependent, see the probe jsonl
     4_194_304: dict(tiled_hysteresis=0.0),
 }
 

@@ -246,6 +246,11 @@ def test_tuned_config_accepts_sweep_override():
     (the production-rebuild adoption path)."""
     from gpu_physics_engine_tpu import tuned_config
 
-    cfg = tuned_config(512_000, tiled_sweep="rebuild")
+    cfg = tuned_config(1_048_576, tiled_sweep="rebuild")
     assert cfg.tiled_sweep == "rebuild"
-    assert tuned_config(512_000).tiled_sweep == "relocate"
+    assert tuned_config(1_048_576).tiled_sweep == "relocate"
+    # the round-4 adopted defaults: small sizes rebuild (PERF.md "The
+    # small-size sweep verdict"), explicit override still wins
+    assert tuned_config(512_000).tiled_sweep == "rebuild"
+    assert tuned_config(512_000,
+                        tiled_sweep="relocate").tiled_sweep == "relocate"
