@@ -116,13 +116,18 @@ GS_FLAGS: dict = {}
 # At 4M (103% area fill) the stale-pair population creeps at ANY cap
 # and ANY budgeted-relocate cadence (240/120/60 identical,
 # docs/probes_r3/tpu_probe_gs4m_cadence.jsonl) because free-slot
-# claims cannot resolve displacement chains across full tiles; only
-# the wholesale sort rebuild (ops/tiled.rebuild,
-# tiled_sweep="rebuild") restores storage==home, so 4M runs it at a
-# short cadence — staleness is then bounded BY CONSTRUCTION at the
-# ~60-step accumulation (~1%).  240/"relocate" elsewhere — stale is
-# <= 0.03% there without help.
-_GS_SWEEP = {4_194_304: (60, "rebuild")}
+# claims cannot resolve displacement chains across full tiles.  The
+# wholesale rebuild would bound staleness by construction, BUT at the
+# 4M GS geometry it is UNMEASURABLE: four independent probe attempts
+# across three sessions (tpu_probe_gs_rebuild) black-holed the remote
+# compile service at the first 4M-GS-geometry compile and never
+# returned (ROUND4.md §2a) — so the round-3 adopted-on-faith
+# (60, "rebuild") default is REVERTED to the hardware-measured
+# cadence-240 relocate (13.3 ms/step, docs/probes_r3/
+# tpu_probe_gs4m.jsonl) with the storage-jam watchdog as the creep
+# bound.  Flip back only with landed probe data.
+# 240/"relocate" elsewhere — stale is <= 0.03% there without help.
+_GS_SWEEP: dict = {}
 
 
 def GS_SWEEP(n_particles: int):

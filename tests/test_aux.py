@@ -225,9 +225,11 @@ def test_interactive_smoke_headless():
 
 
 def test_gs_tuned_helpers_map_sizes():
-    """GS_TUNED/GS_SWEEP: log-nearest size mapping, the 4M rebuild
-    sweep pick, and the relocate default everywhere else (bench.py and
-    user GS configs both read these)."""
+    """GS_TUNED/GS_SWEEP: log-nearest size mapping and the measured
+    relocate default everywhere (bench.py and user GS configs both
+    read these).  The round-3 adopted-on-faith 4M rebuild pick was
+    reverted in round 4 — the probe proved unmeasurable (ROUND4.md
+    §2a); no default may rest on an unmeasured config."""
     from gpu_physics_engine_tpu.core.tuned import GS_SWEEP, GS_TUNED
 
     cap_1m, match = GS_TUNED(1_048_576)
@@ -236,8 +238,7 @@ def test_gs_tuned_helpers_map_sizes():
     assert GS_TUNED(4_194_304)[0] == 6  # storage-true 4M cap
 
     assert GS_SWEEP(1_048_576) == (240, "relocate")
-    iv, mech = GS_SWEEP(4_194_304)
-    assert mech == "rebuild" and iv <= 240  # displacement-chain fix
+    assert GS_SWEEP(4_194_304) == (240, "relocate")  # measured default
     assert GS_SWEEP(3_900_000) == GS_SWEEP(4_194_304)  # nearest
 
 
