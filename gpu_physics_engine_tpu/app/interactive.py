@@ -100,9 +100,12 @@ def main(argv=None):
     with eng.timer:
         while running["on"]:
             viewer.camera.update(eng.timer.get_delta() or 1 / 60)
-            eng.step()
+            fuse = (hasattr(eng, "step_render_frame")
+                    and getattr(eng, "big", None) is None)
+            if not fuse:
+                eng.step()
             frame = viewer.render_engine(
-                eng, preview_scale=args.preview_scale)
+                eng, preview_scale=args.preview_scale, fused_step=fuse)
             if im is None:
                 im = ax.imshow(frame)
             else:

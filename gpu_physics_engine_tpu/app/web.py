@@ -146,12 +146,19 @@ class WebApp:
             self.viewer.camera.update(max(time.perf_counter() - last,
                                           1e-3))
             last = time.perf_counter()
-            if self.steps_per_frame == 1:
-                eng.step()
-            else:
-                eng.run(self.steps_per_frame)
+            # one-step frames fuse sim+render into a single dispatched
+            # program when the engine supports it (TiledEngine) — the
+            # remote-display fps lever after preview_scale (PERF.md)
+            fuse = (self.steps_per_frame == 1
+                    and hasattr(eng, "step_render_frame")
+                    and getattr(eng, "big", None) is None)
+            if not fuse:
+                if self.steps_per_frame == 1:
+                    eng.step()
+                else:
+                    eng.run(self.steps_per_frame)
             frame = self.viewer.render_engine(
-                eng, preview_scale=self.preview_scale)
+                eng, preview_scale=self.preview_scale, fused_step=fuse)
             png = encode_png(np.asarray(frame), level=1)
             # cache the count on the SIM thread: engine.state buffers are
             # donated per step, so HTTP threads must never touch them

@@ -227,6 +227,7 @@ class TiledEngine:
         self._reloc_iv = iv
         self._since_reloc = iv - 1  # force a relocate on the first step
         self._frame_chunks = {}
+        self._step_render = {}  # fused interactive frame programs
         self._gs_par = gs_par
         self._stale_frac = jax.jit(
             lambda s: tiled.stale_pair_fraction(s, config))
@@ -824,6 +825,61 @@ class TiledEngine:
         return eng
 
     # ---- device-side rendering (render/device.py) ----
+
+    def _step_render_of(self, width: int, height: int, off: bool):
+        """One jitted program: sim step + device render -> (state, u8
+        image).  The interactive loop's fused dispatch — over the
+        tunneled runtime each dispatched program costs ~5 ms, so
+        step+render as TWO programs pays that twice per displayed
+        frame (measured: the preview-scale-4 frame floor is
+        dispatch-bound, PERF.md round-4 interactive table)."""
+        key = (width, height, off)
+        if key in self._step_render:
+            return self._step_render[key]
+        config = self.config
+        from gpu_physics_engine_tpu.render.device import _render_core
+        if self._gs_par:
+            from gpu_physics_engine_tpu.ops.gs_parity import (
+                gs_parity_tile_step)
+
+            def _fn(s, p, rect):
+                s = gs_parity_tile_step(s, p, config, n_steps=1)
+                img = _render_core(s.x, s.y, s.px, s.py, s.radius,
+                                   s.pid, rect, config, width, height)
+                return s, img
+        else:
+            def _fn(s, p, rect):
+                s = tiled.tiled_step_fn(s, p, config,
+                                        do_relocate=not off)
+                img = _render_core(s.x, s.y, s.px, s.py, s.radius,
+                                   s.pid, rect, config, width, height)
+                return s, img
+        self._step_render[key] = jax.jit(_fn, donate_argnums=0)
+        return self._step_render[key]
+
+    def step_render_frame(self, rect=None, width: int = 1280,
+                          height: int = 720) -> np.ndarray:
+        """step() + render_frame() fused into ONE dispatched program
+        (big-overlay scenes fall back to the two-program path: bigs
+        are host-splatted over the device frame)."""
+        if self.big is not None:
+            self.step()
+            return self.render_frame(rect=rect, width=width,
+                                     height=height)
+        from gpu_physics_engine_tpu.render.device import autofit_rect
+        interval = self._sweep_interval
+        if (interval and self._steps_done
+                and self._steps_done % interval == 0):
+            self.state = self._run_sweep()
+            self._since_reloc = 0
+        if rect is None:
+            rect = autofit_rect(self.config, width, height)
+        off = self._reloc_off() and not self._gs_par
+        self.state, img = self._step_render_of(width, height, off)(
+            self.state, self.params(), jnp.asarray(rect, jnp.float32))
+        self._since_reloc = self._since_reloc + 1 if off else 0
+        self._steps_done += 1
+        return np.asarray(img)
 
     def render_frame(self, rect=None, width: int = 1280,
                      height: int = 720) -> np.ndarray:

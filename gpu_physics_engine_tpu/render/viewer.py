@@ -68,7 +68,8 @@ class Viewer:
 
     def render_engine(self, engine,
                       prefer_device: Optional[bool] = None,
-                      preview_scale: int = 1) -> np.ndarray:
+                      preview_scale: int = 1,
+                      fused_step: bool = False) -> np.ndarray:
         """One frame from the engine.
 
         Engines that render on-chip (TiledEngine.render_frame) composite
@@ -91,10 +92,17 @@ class Viewer:
             w, h = self.screen_size
             s = max(1, int(preview_scale))
             fw, fh = -(-w // s), -(-h // s)  # ceil: cover the window
-            frame = np.asarray(
-                engine.render_frame(rect=self.camera.world_rect(),
-                                    width=fw, height=fh),
-                np.float32) / 255.0
+            # fused_step: advance the sim INSIDE the same dispatched
+            # program as the render (TiledEngine.step_render_frame) —
+            # halves the ~5 ms/dispatch tunnel tax per displayed frame;
+            # the caller must then NOT call engine.step() itself
+            if fused_step and hasattr(engine, "step_render_frame"):
+                raw = engine.step_render_frame(
+                    rect=self.camera.world_rect(), width=fw, height=fh)
+            else:
+                raw = engine.render_frame(rect=self.camera.world_rect(),
+                                          width=fw, height=fh)
+            frame = np.asarray(raw, np.float32) / 255.0
             if s > 1:
                 # nearest upscale, cropped to the window; the grid
                 # overlay below draws at full resolution on top

@@ -166,3 +166,38 @@ def test_render_run_matches_plain_run():
     b.render_run(3, width=40, height=20)
     np.testing.assert_array_equal(np.asarray(a.state.x),
                                   np.asarray(b.state.x))
+
+
+def test_step_render_frame_fuses_step_and_render():
+    """step_render_frame = step() + render_frame() in ONE dispatched
+    program: the trajectory must match the separate path bitwise and
+    the image to 1 u8 step (XLA may fuse the two stages differently)."""
+    cfg = _cfg(max_particles=48, initial_particles=32,
+               tiled_collide="jnp")
+    a = TiledEngine(cfg, seed=0)
+    b = TiledEngine(cfg, seed=0)
+    for _ in range(3):
+        fused = a.step_render_frame(width=40, height=20)
+        b.step()
+        separate = b.render_frame(width=40, height=20)
+        d = np.abs(fused.astype(np.int32) - separate.astype(np.int32))
+        assert d.max() <= 1, f"image delta {d.max()}"
+    np.testing.assert_array_equal(np.asarray(a.state.x),
+                                  np.asarray(b.state.x))
+    np.testing.assert_array_equal(np.asarray(a.state.pid),
+                                  np.asarray(b.state.pid))
+
+
+def test_step_render_frame_respects_relocate_interval():
+    """The fused frame keeps the tiled_relocate_interval phase counter
+    in lockstep with plain step()."""
+    cfg = _cfg(max_particles=48, initial_particles=32,
+               tiled_collide="jnp", tiled_relocate_interval=2)
+    a = TiledEngine(cfg, seed=0)
+    b = TiledEngine(cfg, seed=0)
+    for _ in range(4):
+        a.step_render_frame(width=40, height=20)
+        b.step()
+        assert a._since_reloc == b._since_reloc
+    np.testing.assert_array_equal(np.asarray(a.state.x),
+                                  np.asarray(b.state.x))
