@@ -1,4 +1,4 @@
-"""512k geometry re-sweep under the rebuild sweep (the open optimization).
+"""Small-size re-sweep under the rebuild sweep (the open optimization).
 
 Round-4 verdict (PERF.md "The small-size sweep verdict"): 512k must run
 tiled_sweep="rebuild" (only watchdog-free class at 21k steps) but pays
@@ -41,22 +41,36 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 log(stage="init", devices=str(jax.devices()))
 
-N = 512_000
-BASE_MS = 1.541  # incumbent: (6.6, 7, iv4) rebuild@240, prod_rebuild probe
-
+# base = incumbent ms/step at that size under rebuild@240
+# (docs/probes_r4/tpu_probe_prod_rebuild.jsonl); "incumbent" rows skip
+# the horizon stage (already horizon-verified by the prod_rebuild probe).
 CANDS = [
-    dict(tag="m66c7_iv4_s240", mult=6.6, cap=7, iv=4, cad=240),  # incumbent
-    dict(tag="m88c10_iv4_s240", mult=8.8, cap=10, iv=4, cad=240),
-    dict(tag="m110c12_iv4_s240", mult=11.0, cap=12, iv=4, cad=240),
-    dict(tag="m132c14_iv4_s240", mult=13.2, cap=14, iv=4, cad=240),
-    dict(tag="m66c7_iv4_s480", mult=6.6, cap=7, iv=4, cad=480),
+    # 512k geometry ladder: fewer slots = cheaper rebuild, IF the
+    # coarser-tile per-step sweep survives
+    dict(tag="512k_m66c7_iv4_s240", n=512_000, mult=6.6, cap=7, iv=4,
+         cad=240, base=1.541, incumbent=True),
+    dict(tag="512k_m88c10_iv4_s240", n=512_000, mult=8.8, cap=10, iv=4,
+         cad=240, base=1.541),
+    dict(tag="512k_m110c12_iv4_s240", n=512_000, mult=11.0, cap=12, iv=4,
+         cad=240, base=1.541),
+    dict(tag="512k_m132c14_iv4_s240", n=512_000, mult=13.2, cap=14, iv=4,
+         cad=240, base=1.541),
+    dict(tag="512k_m66c7_iv4_s480", n=512_000, mult=6.6, cap=7, iv=4,
+         cad=480, base=1.541),
+    # stale-accumulation halving at the cheap-rebuild small sizes:
+    # rebuild@120 costs +0.08 ms/step at 100k (19.5 ms rebuild), +0.23
+    # at 256k (54.6 ms) — buys half the 240-step stale window
+    dict(tag="100k_m22c8_iv2_s120", n=100_000, mult=22.0, cap=8, iv=2,
+         cad=120, base=0.330),
+    dict(tag="256k_m121c9_iv2_s120", n=256_000, mult=12.1, cap=9, iv=2,
+         cad=120, base=0.846),
 ]
 
 
 def make(c):
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
-    cfg = SimConfig(max_particles=N, initial_particles=N,
+    cfg = SimConfig(max_particles=c["n"], initial_particles=c["n"],
                     pipeline="tiled", tile_multiplier=c["mult"],
                     tile_cap=c["cap"], tiled_match="greedy",
                     tiled_relocate_interval=c["iv"],
@@ -93,7 +107,7 @@ try:
             ms1 = window(eng, 480)
             ms2 = window(eng, 480)
             of1 = int(eng.state.overflow_count)
-            defer_pct = (of1 - of0) / 960 / N * 100 * c["iv"]
+            defer_pct = (of1 - of0) / 960 / c["n"] * 100 * c["iv"]
             ms = min(ms1, ms2)
             results[c["tag"]] = ms
             log(stage="window", tag=c["tag"], ms1=round(ms1, 3),
@@ -105,12 +119,15 @@ try:
             log(stage="cand_error", tag=c["tag"],
                 err=traceback.format_exc()[-400:])
 
-    # horizon trend on winners (beats incumbent by >3%)
+    # horizon trend on adoptable candidates: geometry alternatives must
+    # beat the incumbent by >3%; cadence-120 rows qualify if within 1.35x
+    # of base (they buy stale quality, not speed)
     for c in CANDS:
         ms = results.get(c["tag"])
-        if ms is None or c["tag"] == "m66c7_iv4_s240":
+        if ms is None or c.get("incumbent"):
             continue
-        if ms > min(BASE_MS, results.get("m66c7_iv4_s240", BASE_MS)) * 0.97:
+        bound = c["base"] * (1.35 if c["cad"] == 120 else 0.97)
+        if ms > bound:
             continue
         if time.time() - T0 > 50 * 60:
             log(stage="skip_horizon", tag=c["tag"])
@@ -124,8 +141,8 @@ try:
                 of = int(eng.state.overflow_count)
                 log(stage="horizon", tag=c["tag"], w=w,
                     ms=round(ms_w, 3),
-                    defer_pop_pct=round((of - of_prev) / 480 / N * 100
-                                        * c["iv"], 3),
+                    defer_pop_pct=round((of - of_prev) / 480 / c["n"]
+                                        * 100 * c["iv"], 3),
                     stale_pct=round(float(eng._stale_frac(eng.state))
                                     * 100, 4),
                     wd=int(getattr(eng, "watchdog_events", 0)))
