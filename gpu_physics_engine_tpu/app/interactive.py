@@ -38,6 +38,17 @@ def main(argv=None):
                         "frame download — the interactive-fps knob on "
                         "tunneled TPU runtimes where the 2.7 MB "
                         "1280x720 download dominates the frame budget")
+    p.add_argument("--fused", action="store_true",
+                   help="fuse sim step + render into one dispatched "
+                        "program per frame (TiledEngine.step_render_"
+                        "frame).  MEASURED NEGATIVE on the tunneled v5e "
+                        "(+5-19 ms/frame vs the two-program path at "
+                        "every preview scale, docs/probes_r4/"
+                        "tpu_probe_fused_frame.jsonl): dispatches "
+                        "pipeline over the tunnel, so the merged "
+                        "program saves no latency and the monolithic "
+                        "step+render XLA program runs slower.  Kept as "
+                        "an opt-in for local (untunneled) runtimes")
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    dest="overrides", help="SimConfig overrides (headless "
                                           "--set semantics)")
@@ -100,7 +111,7 @@ def main(argv=None):
     with eng.timer:
         while running["on"]:
             viewer.camera.update(eng.timer.get_delta() or 1 / 60)
-            fuse = (hasattr(eng, "step_render_frame")
+            fuse = (args.fused and hasattr(eng, "step_render_frame")
                     and getattr(eng, "big", None) is None)
             if not fuse:
                 eng.step()

@@ -92,12 +92,13 @@ class WebApp:
     HTTP layer only reads the latest encoded frame and enqueues input."""
 
     def __init__(self, engine, viewer, preview_scale: int = 1,
-                 steps_per_frame: int = 1):
+                 steps_per_frame: int = 1, fused: bool = False):
         from gpu_physics_engine_tpu.utils.input import InputManager
         self.engine = engine
         self.viewer = viewer
         self.preview_scale = preview_scale
         self.steps_per_frame = steps_per_frame
+        self.fused = fused
         self.events: "queue.Queue" = queue.Queue()
         self.running = False
         self._frame_lock = threading.Lock()
@@ -146,10 +147,12 @@ class WebApp:
             self.viewer.camera.update(max(time.perf_counter() - last,
                                           1e-3))
             last = time.perf_counter()
-            # one-step frames fuse sim+render into a single dispatched
-            # program when the engine supports it (TiledEngine) — the
-            # remote-display fps lever after preview_scale (PERF.md)
-            fuse = (self.steps_per_frame == 1
+            # fused sim+render (one dispatched program per frame) is
+            # OPT-IN: measured NEGATIVE on the tunneled v5e (+5-19
+            # ms/frame vs the two-program path — dispatches pipeline
+            # over the tunnel; docs/probes_r4/tpu_probe_fused_frame.
+            # jsonl); only local runtimes should consider it
+            fuse = (self.fused and self.steps_per_frame == 1
                     and hasattr(eng, "step_render_frame")
                     and getattr(eng, "big", None) is None)
             if not fuse:
@@ -251,6 +254,11 @@ def main(argv=None):
                    help="composite at 1/s resolution, upscale in the "
                         "browser (the remote-TPU display-fps knob)")
     p.add_argument("--steps-per-frame", type=int, default=1)
+    p.add_argument("--fused", action="store_true",
+                   help="fuse step+render into one dispatched program "
+                        "per frame — measured NEGATIVE over the tunnel "
+                        "(docs/probes_r4/tpu_probe_fused_frame.jsonl); "
+                        "opt-in for local runtimes")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--set", action="append", default=[], metavar="K=V",
@@ -271,7 +279,7 @@ def main(argv=None):
     viewer = Viewer((cfg.world_width, cfg.world_height), tuple(args.window))
 
     app = WebApp(eng, viewer, preview_scale=args.preview_scale,
-                 steps_per_frame=args.steps_per_frame)
+                 steps_per_frame=args.steps_per_frame, fused=args.fused)
     app.start()
     srv = make_server(app, args.host, args.port, tuple(args.window))
     print(f"serving on http://{args.host}:{srv.server_address[1]}/ "
