@@ -302,9 +302,17 @@ def measure_frames(eng) -> float:
     windows, checksum fetch = sync."""
     eng.render_run(FRAME_WINDOW)  # compile + settle the fused window
     _tick()
-    t0 = time.perf_counter()
-    eng.render_run(FRAME_WINDOW)
-    return (time.perf_counter() - t0) / FRAME_WINDOW * 1e3
+    # min of two timed windows: a one-off compile landing inside a
+    # window (e.g. the 240-step sweep program the settle window never
+    # reached — observed 1263 ms/frame in a degraded-mode run) must
+    # not poison the row
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.render_run(FRAME_WINDOW)
+        best = min(best, (time.perf_counter() - t0) / FRAME_WINDOW * 1e3)
+        _tick()
+    return best
 
 
 def measure_render(eng):
