@@ -9,6 +9,7 @@ are comparable with the slot-ordered engines.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
@@ -89,9 +90,7 @@ class TiledEngine:
         construction and after a _retile geometry change."""
         config = self.config
         self._step = tiled.make_tiled_step(config)
-        self._insert = jax.jit(
-            lambda s, p, r, ids: tiled.insert_particles(s, config, p, r, ids),
-            donate_argnums=0)
+        self._insert_ring = {}  # ring -> jitted insert_batch program
         # straggler sweep: the pull relocate moves one hop per step and can
         # transiently defer contended movers; the claim relocate handles
         # arbitrary jumps exactly, so run it at the Morton-resort cadence
@@ -629,6 +628,62 @@ class TiledEngine:
     def move_mouse(self, world_pos):
         self.mouse_pos = tuple(map(float, world_pos))
 
+    def _insert_fns(self):
+        """(ring1, place_at) jitted insert programs, built on first use:
+        ring1 = home + the 8 neighbors (insert_batch, the common case);
+        place_at = host-chosen far-spill targets (insert_at_tiles)."""
+        fns = self._insert_ring.get("fns")
+        if fns is None:
+            config = self.config
+            ring1 = jax.jit(
+                lambda s, p, r, ids, placed: tiled.insert_batch(
+                    s, config, p, r, ids, placed, tiled.INSERT_OFFSETS),
+                donate_argnums=0)
+            place_at = jax.jit(tiled.insert_at_tiles, donate_argnums=0)
+            fns = (ring1, place_at)
+            self._insert_ring["fns"] = fns
+        return fns
+
+    def _spawn_insert(self, pos, radii, ids):
+        """The reference never refuses a spawn (arrays grow + grid
+        rebuild, state.rs:187-200 / grid.rs:265-291), so a storage-full
+        3x3 neighborhood spills to the nearest free tile — off-home
+        storage is a deferred mover the relocate walks home.  The far
+        spill runs on the HOST (spawns are rare and host-triggered):
+        download per-tile free counts, ring-scan in numpy (the init
+        tiler's logic), then one small place-at-tiles program — no
+        wide-ring jit unrolls.  Only a full interior grid refuses
+        (loudly, into overflow_count)."""
+        ring1, place_at = self._insert_fns()
+        placed = jnp.zeros(np.asarray(radii).reshape(-1).shape[0], bool)
+        state, placed = ring1(self.state, pos, radii, ids, placed)
+        if not bool(placed.all()):
+            cfg = self.config
+            t, TY, TX = tiled.tile_geometry(cfg)
+            ty_hi = TY - 2  # the init tiler's spill bound
+            free = np.asarray((state.pid < 0).sum(axis=0))
+            p_np = np.asarray(pos)
+            hty = np.clip((p_np[:, 1] // t).astype(np.int64) + 1, 1, ty_hi)
+            htx = np.clip((p_np[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
+            ty2, tx2, found = tiled.far_targets(
+                free, hty, htx, ~np.asarray(placed), ty_hi, TX)
+            if found.any():
+                # mask ~found as "placed" so place_at skips them, then
+                # strip them back out of the result: only entries with a
+                # real host-found target count as placed
+                state, placed2 = place_at(
+                    state, pos, radii, ids,
+                    jnp.asarray(ty2), jnp.asarray(tx2),
+                    placed | jnp.asarray(~found))
+                placed = placed | (placed2 & jnp.asarray(found))
+        n_placed = int(jnp.sum(placed))
+        self.state = dataclasses.replace(
+            state,
+            num_active=state.num_active + jnp.int32(n_placed),
+            overflow_count=state.overflow_count
+            + jnp.int32(placed.shape[0] - n_placed))
+        return self.state
+
     def spawn_at(self, world_pos, count: Optional[int] = None,
                  verbose: bool = True):
         """Ring burst around a point (particle_system.rs:163-220 geometry)."""
@@ -681,13 +736,13 @@ class TiledEngine:
             self.config = self.config.replace(tiled_uniform_radius=False)
             self._build_compiled()
         if fits_tiles:
-            self.state = self._insert(self.state, pos, radii, ids)
+            self._spawn_insert(pos, radii, ids)
         else:
             small = np.asarray(radii) <= \
                 self.config.tile_max_radius_effective
             if small.any():
-                self.state = self._insert(
-                    self.state, np.asarray(pos)[small],
+                self._spawn_insert(
+                    np.asarray(pos)[small],
                     np.asarray(radii)[small], np.asarray(ids)[small])
             if (~small).any():
                 # only build the overlay (and the pricier hybrid step)

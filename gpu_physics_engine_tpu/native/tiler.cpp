@@ -22,12 +22,18 @@ extern "C" {
 // Returns the number of particles dropped (tile overflow).
 //
 // Overflowing particles SPILL to the nearest interior tile with space in a
-// second pass (Chebyshev ring 1 then ring 2, row-major scan order, spills
-// processed in ascending particle order AFTER all natural placements —
-// mirrored exactly by the numpy fallback in ops/tiled.py): a spilled
-// particle is just a deferred mover — the pull relocate walks it home over
-// the next steps — so a dense random scene starts with every particle
-// present instead of silently simulating fewer.
+// second pass (Chebyshev rings outward, row-major scan order per ring,
+// spills processed in ascending particle order AFTER all natural
+// placements — mirrored exactly by the numpy fallback in ops/tiled.py):
+// a spilled particle is just a deferred mover — the pull relocate walks
+// it home over the next steps — so a dense random scene starts with every
+// particle present instead of silently simulating fewer.  Rings widen as
+// far as the grid: placement is guaranteed whenever total slots >= n
+// (conservation first — a checkpoint of a gravity-compressed scene can
+// legitimately hold more particles near one tile than cap*5x5; far
+// spills are stale-but-recoverable, bounded by the relocate sweep and
+// the storage-jam watchdog).  A drop can only mean the whole grid is
+// full.
 int64_t bin_particles(const float* __restrict positions,
                       const float* __restrict prev_positions,
                       const float* __restrict radii,
@@ -72,7 +78,8 @@ int64_t bin_particles(const float* __restrict positions,
         int32_t ty, tx;
         home_of(i, &ty, &tx);
         int64_t tile = -1;
-        for (int32_t ring = 1; ring <= 2 && tile < 0; ++ring) {
+        const int32_t max_ring = std::max(ty_n, tx_n);
+        for (int32_t ring = 1; ring <= max_ring && tile < 0; ++ring) {
             for (int32_t dy = -ring; dy <= ring && tile < 0; ++dy) {
                 for (int32_t dx = -ring; dx <= ring; ++dx) {
                     if (std::max(std::abs(dy), std::abs(dx)) != ring)

@@ -198,7 +198,11 @@ def init_tiles(config: SimConfig, positions, radii, pids=None,
 
     # numpy fallback: stable sort by tile, slot = rank within run; then
     # spill overflow to nearby tiles in ascending particle order — the
-    # EXACT layout of the native path (natives first, spills second)
+    # EXACT layout of the native path (natives first, spills second).
+    # Rings widen as far as the grid (placement guaranteed while total
+    # slots >= n): a checkpoint of a compressed scene can hold more
+    # particles near one tile than cap*5x5 — conservation first, far
+    # spills are stale-but-recoverable (relocate sweep + watchdog)
     ty = np.clip((positions[:, 1] // t).astype(np.int64) + 1, 1, TY - 2)
     tx = np.clip((positions[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
     tile = ty * TX + tx
@@ -219,7 +223,7 @@ def init_tiles(config: SimConfig, positions, radii, pids=None,
     dropped = 0
     for i in np.sort(order[~keep]):  # ascending particle order
         dest = -1
-        for ring in (1, 2):
+        for ring in range(1, max(TY, TX)):
             for dy in range(-ring, ring + 1):
                 for dx in range(-ring, ring + 1):
                     if max(abs(dy), abs(dx)) != ring:
@@ -664,25 +668,124 @@ def rebuild(state: TileState, config: SimConfig,
         overflow_count=state.overflow_count + lost)
 
 
-def insert_particles(state: TileState, config: SimConfig, positions, radii,
-                     pids) -> TileState:
-    """Spawn path: place new particles (device-side, jittable)."""
+# deterministic neighbor-fallback order for spawn inserts (home first):
+# a spawn whose home tile is storage-full goes to a nearby tile —
+# off-home storage is the deferred-mover invariant the pull relocate
+# already walks home (multi-hop), so nothing is lost.  The reference
+# NEVER refuses a spawn (its arrays grow and the grid rebuilds,
+# state.rs:187-200 / grid.rs:265-291), so home-only insertion would be
+# a parity break in dense scenes; the engines widen the ring ladder
+# (ring_offsets) host-side until everyone is placed — like the init
+# tiler's spill rings — and only a full GRID refuses (counted in
+# overflow_count, loud).
+INSERT_OFFSETS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+                  (-1, -1), (-1, 1), (1, -1), (1, 1))
+
+
+def ring_offsets(ring: int):
+    """(dy, dx) offsets at exact Chebyshev distance ``ring`` (row-major
+    scan order, matching the init tiler's spill rings)."""
+    if ring == 0:
+        return ((0, 0),)
+    return tuple((dy, dx)
+                 for dy in range(-ring, ring + 1)
+                 for dx in range(-ring, ring + 1)
+                 if max(abs(dy), abs(dx)) == ring)
+
+
+def insert_batch(state: TileState, config: SimConfig, positions, radii,
+                 pids, placed, offsets):
+    """One fallback round: try each (dy, dx) in ``offsets`` (static) for
+    every not-yet-``placed`` entry.  Returns (state, placed') — NO
+    num_active/overflow bookkeeping (the caller's ring ladder does it
+    once at the end).  Jittable with static ``offsets``."""
     t, TY, TX = tile_geometry(config)
     x = jnp.asarray(positions[:, 0], jnp.float32)
     y = jnp.asarray(positions[:, 1], jnp.float32)
     r = jnp.asarray(radii, jnp.float32)
+    # rows 1..TY-2 are usable storage — the SAME bound as the init
+    # tiler's spill rings: the rows above the world (8-multiple pad)
+    # legitimately house storage overflow when the in-world grid is
+    # over capacity (a compressed scene), and the kernels/relocate
+    # treat them like any other tile
+    ty_hi = TY - 2
     ty_t, tx_t = _tile_of(x, y, jnp.float32(t))
-    ty_t = jnp.clip(ty_t, 1, TY - 2)
+    ty_t = jnp.clip(ty_t, 1, ty_hi)
     tx_t = jnp.clip(tx_t, 1, TX - 2)
-    live = jnp.ones(x.shape[0], bool)
     fields = (x, y, x, y, r, jnp.asarray(pids, _I32))
-    new_state, placed = _insert_compacted(state, ty_t, tx_t, fields, live)
+    for dy, dx in offsets:
+        ty_o = jnp.clip(ty_t + dy, 1, ty_hi)
+        tx_o = jnp.clip(tx_t + dx, 1, TX - 2)
+        state, won = _insert_compacted(state, ty_o, tx_o, fields, ~placed)
+        placed = placed | won
+    return state, placed
+
+
+def insert_at_tiles(state: TileState, positions, radii, pids,
+                    ty_t, tx_t, placed):
+    """Place not-yet-``placed`` entries at host-chosen (ty_t, tx_t)
+    target tiles (far-spill path: the host picked nearest-free tiles
+    from downloaded occupancy, so placement succeeds whenever the
+    chosen tiles really have room).  Returns (state, placed')."""
+    x = jnp.asarray(positions[:, 0], jnp.float32)
+    y = jnp.asarray(positions[:, 1], jnp.float32)
+    r = jnp.asarray(radii, jnp.float32)
+    fields = (x, y, x, y, r, jnp.asarray(pids, _I32))
+    state, won = _insert_compacted(state, jnp.asarray(ty_t, _I32),
+                                   jnp.asarray(tx_t, _I32), fields,
+                                   ~placed)
+    return state, placed | won
+
+
+def far_targets(free_counts, ty_t, tx_t, todo, ty_hi, TX):
+    """Host-side nearest-free-tile targets for ``todo`` entries (numpy;
+    the init tiler's widening ring scan).  ``free_counts`` is the
+    [TY, TX] per-tile free-slot count; decremented greedily in ascending
+    entry order.  Returns (ty, tx, found) — ``found`` False only when
+    the whole interior grid is full."""
+    import numpy as np
+    free = np.array(free_counts, np.int64, copy=True)
+    TY = free.shape[0]
+    hty = np.asarray(ty_t, np.int64)
+    htx = np.asarray(tx_t, np.int64)
+    oty = hty.copy()
+    otx = htx.copy()
+    found = np.zeros(oty.shape[0], bool)
+    for i in np.nonzero(np.asarray(todo))[0]:
+        dest = None
+        for ring in range(0, max(TY, TX)):
+            for dy, dx in ring_offsets(ring):
+                sy, sx = hty[i] + dy, htx[i] + dx
+                if not (1 <= sy <= ty_hi and 1 <= sx <= TX - 2):
+                    continue
+                if free[sy, sx] > 0:
+                    dest = (sy, sx)
+                    break
+            if dest is not None:
+                break
+        if dest is None:
+            continue
+        free[dest] -= 1
+        oty[i], otx[i] = dest
+        found[i] = True
+    return oty, otx, found
+
+
+def insert_particles(state: TileState, config: SimConfig, positions, radii,
+                     pids) -> TileState:
+    """Spawn path: place new particles (device-side, jittable).  Tries
+    the home tile + ring-1 fallback (static unroll — bounded so the
+    jitted program stays small; the engines' host-side far-spill goes
+    wider when this round leaves anyone unplaced)."""
+    placed = jnp.zeros(jnp.asarray(radii).reshape(-1).shape[0], bool)
+    state, placed = insert_batch(state, config, positions, radii, pids,
+                                 placed, INSERT_OFFSETS)
     n_placed = jnp.sum(placed.astype(_I32))
     return dataclasses.replace(
-        new_state,
-        num_active=new_state.num_active + n_placed,
-        overflow_count=new_state.overflow_count
-        + (x.shape[0] - n_placed))
+        state,
+        num_active=state.num_active + n_placed,
+        overflow_count=state.overflow_count
+        + (placed.shape[0] - n_placed))
 
 
 # ---------------------------------------------------------------------------

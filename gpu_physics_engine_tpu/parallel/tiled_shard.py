@@ -389,52 +389,128 @@ def make_sharded_tiled_step(config: SimConfig, mesh: Mesh):
     return step
 
 
-def make_sharded_insert(config: SimConfig, mesh: Mesh):
-    """Spawn path for the sharded tiled engine: the burst arrays are
-    replicated to every chip; each chip inserts the particles whose target
-    tile row lies in its slab (the others see them as dead entries)."""
+def make_sharded_insert(config: SimConfig, mesh: Mesh,
+                        offsets=tiled.INSERT_OFFSETS):
+    """One spawn-insert round for the sharded tiled engine: the burst
+    arrays are replicated to every chip; each chip inserts the particles
+    whose target tile row lies in its slab (the others see them as dead
+    entries).
+
+    Like the single-chip ops/tiled.insert_batch, a storage-full home
+    tile falls back over ``offsets`` (static) — the reference never
+    refuses a spawn; the engine's host-side ring ladder widens offsets
+    until everyone is placed.  Rounds run in a fixed global order with
+    the placed mask psum-synced between rounds: within one round a
+    particle's target tile row has exactly ONE owning chip, so no
+    particle can be placed twice even when the fallback tile lies in a
+    different slab than the home tile.  Fallback rows clip to the REAL
+    interior rows: the 8-multiple pad rows of tile_geometry AND the
+    slab pad rows above them must stay vacant (they alias the next
+    slab's halo reads).  Returns (state', placed') with NO
+    num_active/overflow bookkeeping — the ladder does it once."""
     axis = config.mesh_axis
     n = mesh.devices.size
     t, TYp, TX, rows = sharded_tile_geometry(config, n)
+    # rows 1..TY-2 of the REAL (8-padded) grid are usable storage (the
+    # init tiler's spill bound — init_sharded_tiles populates exactly
+    # this range before slab-padding); the slab pad rows above must
+    # stay vacant (they alias the next slab's halo reads)
+    ty_hi = tiled.tile_geometry(config)[1] - 2
 
     def local_insert(x, y, px, py, r, pid, num_active, dropped,
-                     sx, sy, sr, sid):
+                     sx, sy, sr, sid, placed):
         d = jax.lax.axis_index(axis)
         row0 = d.astype(_I32) * rows
         local = TileState(x=x, y=y, px=px, py=py, radius=r, pid=pid,
                           num_active=num_active, overflow_count=dropped)
         ty_g, tx_t = _tile_of(sx, sy, jnp.float32(t))
-        ty_g = jnp.clip(ty_g, 1, TYp - 2)
+        ty_g = jnp.clip(ty_g, 1, ty_hi)
         tx_t = jnp.clip(tx_t, 1, TX - 2)
-        ty_l = ty_g - row0
-        mine = (ty_l >= 0) & (ty_l < rows)
         fields = (sx, sy, sx, sy, sr, sid)
-        local, placed = tiled._insert_compacted(
-            local, jnp.clip(ty_l, 0, rows - 1), tx_t, fields, mine)
-        n_placed = jax.lax.psum(jnp.sum(placed.astype(_I32)), axis)
-        n_dropped = sx.shape[0] - n_placed
+        for dy, dx in offsets:
+            ty_o = jnp.clip(ty_g + dy, 1, ty_hi)
+            tx_o = jnp.clip(tx_t + dx, 1, TX - 2)
+            ty_l = ty_o - row0
+            mine = ~placed & (ty_l >= 0) & (ty_l < rows)
+            local, won = tiled._insert_compacted(
+                local, jnp.clip(ty_l, 0, rows - 1), tx_o, fields, mine)
+            placed = jax.lax.psum(
+                (placed | won).astype(_I32), axis) > 0
         return (local.x, local.y, local.px, local.py, local.radius,
-                local.pid, num_active + n_placed, dropped + n_dropped)
+                local.pid, placed)
 
     sharded = P(None, axis, None)
     rep = P()
     mapped = jax.shard_map(
         local_insert, mesh=mesh,
-        in_specs=(sharded,) * 6 + (rep,) * 6,
-        out_specs=(sharded,) * 6 + (rep, rep),
+        in_specs=(sharded,) * 6 + (rep,) * 7,
+        out_specs=(sharded,) * 6 + (rep,),
     )
 
     @jax.jit
-    def insert(state: TileState, positions, radii, pids) -> TileState:
+    def insert(state: TileState, positions, radii, pids, placed):
         out = mapped(state.x, state.y, state.px, state.py, state.radius,
                      state.pid, state.num_active, state.overflow_count,
                      jnp.asarray(positions[:, 0], jnp.float32),
                      jnp.asarray(positions[:, 1], jnp.float32),
                      jnp.asarray(radii, jnp.float32),
-                     jnp.asarray(pids, _I32))
-        return TileState(*out)
+                     jnp.asarray(pids, _I32), placed)
+        new = TileState(*out[:6], num_active=state.num_active,
+                        overflow_count=state.overflow_count)
+        return new, out[6]
 
     return insert
+
+
+def make_sharded_place_at(config: SimConfig, mesh: Mesh):
+    """Far-spill placement at host-chosen GLOBAL (ty, tx) target tiles
+    (replicated): the chip owning the target row inserts; the placed
+    mask is psum-shared.  One small program — the wide-ring scan stays
+    on the host (ops/tiled.far_targets)."""
+    axis = config.mesh_axis
+    n = mesh.devices.size
+    _, _, _, rows = sharded_tile_geometry(config, n)
+
+    def local_place(x, y, px, py, r, pid, sx, sy, sr, sid,
+                    ty_t, tx_t, placed):
+        d = jax.lax.axis_index(axis)
+        row0 = d.astype(_I32) * rows
+        local = TileState(x=x, y=y, px=px, py=py, radius=r, pid=pid,
+                          num_active=jnp.int32(0),
+                          overflow_count=jnp.int32(0))
+        ty_l = ty_t - row0
+        mine = ~placed & (ty_l >= 0) & (ty_l < rows)
+        fields = (sx, sy, sx, sy, sr, sid)
+        local, won = tiled._insert_compacted(
+            local, jnp.clip(ty_l, 0, rows - 1), tx_t, fields, mine)
+        placed = jax.lax.psum((placed | won).astype(_I32), axis) > 0
+        return (local.x, local.y, local.px, local.py, local.radius,
+                local.pid, placed)
+
+    sharded = P(None, axis, None)
+    rep = P()
+    mapped = jax.shard_map(
+        local_place, mesh=mesh,
+        in_specs=(sharded,) * 6 + (rep,) * 7,
+        out_specs=(sharded,) * 6 + (rep,),
+    )
+
+    @jax.jit
+    def place(state: TileState, positions, radii, pids, ty_t, tx_t,
+              placed):
+        out = mapped(state.x, state.y, state.px, state.py, state.radius,
+                     state.pid,
+                     jnp.asarray(positions[:, 0], jnp.float32),
+                     jnp.asarray(positions[:, 1], jnp.float32),
+                     jnp.asarray(radii, jnp.float32),
+                     jnp.asarray(pids, _I32),
+                     jnp.asarray(ty_t, _I32), jnp.asarray(tx_t, _I32),
+                     placed)
+        new = TileState(*out[:6], num_active=state.num_active,
+                        overflow_count=state.overflow_count)
+        return new, out[6]
+
+    return place
 
 
 class ShardedTiledEngine:
@@ -594,7 +670,7 @@ class ShardedTiledEngine:
             # the jnp relocation is already exact every step
             self._sweep = None
             self._sweep_interval = 0
-        self._insert = make_sharded_insert(config, self.mesh)
+        self._insert_ring = {}  # ring -> compiled sharded insert round
 
     def params(self, dt=None):
         return StepParams.make(
@@ -699,10 +775,50 @@ class ShardedTiledEngine:
                   "tiled_uniform_radius")
             self.config = self.config.replace(tiled_uniform_radius=False)
             self._build_compiled()
-        self.state = self._insert(
-            self.state, jnp.stack([sx, sy], -1), radii, ids)
+        self._spawn_insert(jnp.stack([sx, sy], -1), radii, ids)
         if verbose:
             print(f"Total particles: {self.num_particles()}")
+        return self.state
+
+    def _insert_fns(self):
+        """(ring1, place_at) compiled insert programs, built on first
+        use (TiledEngine._insert_fns parity, sharded flavors)."""
+        fns = self._insert_ring.get("fns")
+        if fns is None:
+            fns = (make_sharded_insert(self.config, self.mesh),
+                   make_sharded_place_at(self.config, self.mesh))
+            self._insert_ring["fns"] = fns
+        return fns
+
+    def _spawn_insert(self, pos, radii, ids):
+        """TiledEngine._spawn_insert parity: ring-1 fallback in-program
+        (placed mask psum-synced, so cross-slab fallbacks can neither
+        lose nor duplicate), then the rare far spill via host-chosen
+        targets — the reference never refuses a spawn."""
+        ring1, place_at = self._insert_fns()
+        placed = jnp.zeros(np.asarray(radii).reshape(-1).shape[0], bool)
+        state, placed = ring1(self.state, pos, radii, ids, placed)
+        if not bool(placed.all()):
+            cfg = self.config
+            t, TY, TX = tiled.tile_geometry(cfg)
+            ty_hi = TY - 2  # real-grid spill bound; slab pads excluded
+            free = np.asarray((state.pid < 0).sum(axis=0))
+            p_np = np.asarray(pos)
+            hty = np.clip((p_np[:, 1] // t).astype(np.int64) + 1, 1, ty_hi)
+            htx = np.clip((p_np[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
+            ty2, tx2, found = tiled.far_targets(
+                free, hty, htx, ~np.asarray(placed), ty_hi, TX)
+            if found.any():
+                state, placed2 = place_at(
+                    state, pos, radii, ids, jnp.asarray(ty2),
+                    jnp.asarray(tx2), placed | jnp.asarray(~found))
+                placed = placed | (placed2 & jnp.asarray(found))
+        n_placed = int(jnp.sum(placed))
+        self.state = dataclasses.replace(
+            state,
+            num_active=state.num_active + jnp.int32(n_placed),
+            overflow_count=state.overflow_count
+            + jnp.int32(placed.shape[0] - n_placed))
         return self.state
 
     def num_particles(self) -> int:

@@ -1,5 +1,7 @@
 """Multi-chip sharded step tests on a virtual 8-device CPU mesh."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -229,9 +231,13 @@ def test_sharded_tiled_spawn(mesh8):
     # spawn 24 particles spread over the whole world (many slabs)
     spawn_pos = np.stack([
         rng.uniform(1.0, 63.0, 24), rng.uniform(1.0, 63.0, 24)], -1).astype(np.float32)
-    sstate = insert(sstate, jnp.asarray(spawn_pos),
-                    jnp.full(24, 0.5, jnp.float32),
-                    jnp.arange(16, 40, dtype=jnp.int32))
+    sstate, placed = insert(sstate, jnp.asarray(spawn_pos),
+                            jnp.full(24, 0.5, jnp.float32),
+                            jnp.arange(16, 40, dtype=jnp.int32),
+                            jnp.zeros(24, bool))
+    assert bool(placed.all())
+    sstate = dataclasses.replace(
+        sstate, num_active=sstate.num_active + jnp.int32(24))
     assert int(sstate.num_active) == 40
     pid, pos, _, _ = export_particles(sstate)
     assert len(pid) == 40
@@ -601,3 +607,58 @@ def test_sharded_rejects_rebuild_sweep(mesh8):
     cfg = _tcfg(tiled_sweep="rebuild")
     with pytest.raises(ValueError, match="single-chip"):
         ShardedTiledEngine(cfg, mesh=mesh8, seed=0)
+
+
+def test_sharded_insert_full_home_falls_back_across_slab(mesh8):
+    """Round-4 fallback insert: a spawn whose full home tile sits at the
+    TOP row of a slab must fall back into the next slab's bottom row
+    without loss or duplication (the per-round psum sync in
+    make_sharded_insert).  Found live by the dryrun spawn burn-in."""
+    from gpu_physics_engine_tpu.parallel import tiled_shard
+    from gpu_physics_engine_tpu.ops import tiled
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+
+    cfg = _tcfg(max_particles=256)
+    t, TY, TX = tiled.tile_geometry(cfg)
+    _, TYp, _, rows = tiled_shard.sharded_tile_geometry(cfg, 8)
+    g = rows - 1          # top interior row of shard 0's slab
+    assert g >= 2, "geometry must leave a full row below the boundary"
+    home = (g, 5)
+    cap = cfg.tile_cap
+    # fill home, the row below, and both side tiles to cap: the only
+    # free neighbor in INSERT_OFFSETS order is (g+1, 5) — shard 1
+    block = [(g, 4), (g, 5), (g, 6), (g - 1, 4), (g - 1, 5), (g - 1, 6)]
+    pos = []
+    for (ty, tx) in block:
+        for i in range(cap):
+            fx = 0.15 + 0.7 * ((i * 5) % cap) / cap
+            fy = 0.15 + 0.7 * i / cap
+            pos.append(((tx - 1 + fx) * t, (ty - 1 + fy) * t))
+    pos = np.asarray(pos, np.float32)
+    n0 = len(pos)
+    state = tiled_shard.init_sharded_tiles(
+        cfg, mesh8, pos, np.full(n0, 0.5, np.float32))
+    assert int(state.num_active) == n0
+    insert = tiled_shard.make_sharded_insert(cfg, mesh8)
+    spawn = np.asarray([((home[1] - 0.5) * t, (home[0] - 0.5) * t)],
+                       np.float32).repeat(3, axis=0)
+    spawn[:, 0] += np.asarray([-0.3, 0.0, 0.3], np.float32)
+    state, placed = insert(state, jnp.asarray(spawn),
+                           jnp.full(3, 0.5, jnp.float32),
+                           jnp.arange(n0, n0 + 3, dtype=jnp.int32),
+                           jnp.zeros(3, bool))
+    assert bool(placed.all())                # nothing lost
+    state = dataclasses.replace(
+        state, num_active=state.num_active + jnp.int32(3))
+    assert int(state.num_active) == n0 + 3
+    assert int(state.overflow_count) == 0
+    pid, p, _, _ = export_particles(state)
+    np.testing.assert_array_equal(np.sort(pid), np.arange(n0 + 3))  # no dupes
+    # the spawned three kept their positions and landed in shard 1's
+    # bottom row (global row g+1 = rows)
+    order = np.argsort(pid)
+    np.testing.assert_allclose(p[order][n0:], spawn, atol=1e-6)
+    where = np.argwhere(np.asarray(state.pid) >= n0)
+    assert len(where) == 3
+    for _, ty, tx in where:
+        assert ty == g + 1 and tx == home[1]

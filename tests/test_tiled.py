@@ -647,3 +647,47 @@ def test_auto_cap_growth_on_deferral():
     eng2 = TiledEngine(cfg.replace(tiled_auto_cap_pct=0.0), seed=0)
     eng2.run(8)
     assert eng2.config.tile_cap == cap0
+
+
+def test_init_spills_widen_past_ring2():
+    """A compressed scene (e.g. a gravity-packed checkpoint) can hold
+    more particles near one tile than cap x the 5x5 neighborhood; the
+    spill rings widen as far as the grid — conservation first, far
+    spills are stale-but-recoverable (found live by the multichip
+    dryrun's checkpoint/restore burn-in: a restore dropped 19)."""
+    cfg = _cfg(tile_cap=2, initial_particles=0)
+    t, TY, TX = tiled.tile_geometry(cfg)
+    home = (4, 4)
+    # fill the whole 5x5 block around home to cap...
+    pos = []
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            for i in range(2):
+                pos.append(((home[1] + dx - 1 + 0.3 + 0.4 * i) * t,
+                            (home[0] + dy - 1 + 0.3 + 0.4 * i) * t))
+    # + 3 extras in the home tile: must land at ring >= 3
+    extras = 3
+    for i in range(extras):
+        pos.append(((home[1] - 1 + 0.45 + 0.02 * i) * t,
+                    (home[0] - 1 + 0.55) * t))
+    pos = np.asarray(pos, np.float32)
+    n = len(pos)
+    radii = np.full(n, 0.01, np.float32)
+    a = tiled.init_tiles(cfg, pos, radii)
+    saved = (tiled._TILER, tiled._TILER_FAILED)
+    try:
+        tiled._TILER, tiled._TILER_FAILED = None, True
+        b = tiled.init_tiles(cfg, pos, radii)
+    finally:
+        tiled._TILER, tiled._TILER_FAILED = saved
+    for st in (a, b):
+        assert int(st.num_active) == n
+        assert int(st.overflow_count) == 0
+        occ = np.asarray(st.pid) >= 0
+        assert occ.sum() == n
+        # the extras sit beyond the full 5x5 block
+        k, ty, tx = np.nonzero(np.asarray(st.pid) >= n - extras)
+        assert (np.maximum(np.abs(ty - home[0]),
+                           np.abs(tx - home[1])) >= 3).all()
+    np.testing.assert_array_equal(np.asarray(a.pid), np.asarray(b.pid))
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
