@@ -118,14 +118,15 @@ GS_FLAGS: dict = {}
 # docs/probes_r3/tpu_probe_gs4m_cadence.jsonl) because free-slot
 # claims cannot resolve displacement chains across full tiles.  The
 # wholesale rebuild would bound staleness by construction, BUT at the
-# 4M GS geometry it is UNMEASURABLE: four independent probe attempts
-# across three sessions (tpu_probe_gs_rebuild) black-holed the remote
-# compile service at the first 4M-GS-geometry compile and never
-# returned (ROUND4.md §2a) — so the round-3 adopted-on-faith
-# (60, "rebuild") default is REVERTED to the hardware-measured
-# cadence-240 relocate (13.3 ms/step, docs/probes_r3/
-# tpu_probe_gs4m.jsonl) with the storage-jam watchdog as the creep
-# bound.  Flip back only with landed probe data.
+# 4M GS geometry it DOES NOT COMPILE: after four black-holed attempts
+# across three sessions, attempt #5 (round-4 session 2) finally got an
+# answer from the compile service — an 81-minute COMPILE ERROR for the
+# rebuild program at the 2.65M-cell/16M-slot GS geometry
+# (docs/probes_r4/tpu_probe_gs_rebuild.jsonl stage=error
+# name=rebuild_cost).  The candidate is retired on evidence; the
+# default is the hardware-measured cadence-240 relocate (13.3 ms/step,
+# docs/probes_r3/tpu_probe_gs4m.jsonl) with the storage-jam watchdog
+# as the creep bound.
 # 240/"relocate" elsewhere — stale is <= 0.03% there without help.
 _GS_SWEEP: dict = {}
 
