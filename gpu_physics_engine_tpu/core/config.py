@@ -122,9 +122,20 @@ class SimConfig:
     # (ops/tiled.rebuild) — the only sweep that resolves displacement
     # CHAINS across full tiles (relocate's free-slot claims cannot:
     # measured compounding stale residue at 4M GS density at any
-    # cadence/cap, tpu_probe_gs4m_cadence.jsonl).  The watchdog's
+    # cadence/cap, tpu_probe_gs4m_cadence.jsonl); "bands" = the claim
+    # sweep PLUS tiled_band_k stale-targeted band rebuilds
+    # (ops/tiled.rebuild_band) — the compile-feasible rebuild for
+    # geometries where the monolithic sort program does not compile
+    # (the 2.65M-cell 4M-GS grid: an 81-min compile ERROR,
+    # docs/probes_r4/tpu_probe_gs_rebuild.jsonl).  The watchdog's
     # forced sweep uses whichever is configured.
     tiled_sweep: str = "relocate"
+    # band-rebuild geometry for tiled_sweep="bands": rows per band
+    # (static — ONE compiled program serves every band position via a
+    # traced start row) and bands per sweep event (stale_per_row picks
+    # where; a rotation term guarantees full-grid coverage)
+    tiled_band_rows: int = 16
+    tiled_band_k: int = 2
     # HYBRID sweep: with tiled_sweep="relocate", run the wholesale
     # rebuild instead on every k-th periodic sweep (0 = never).  The
     # round-4 long-horizon probe (docs/probes_r4/
@@ -361,6 +372,8 @@ class SimConfig:
         assert self.tiled_spawn in ("bigs", "retile", "auto")
         assert self.big_capacity >= 1
         assert self.tiled_solver in ("sweep", "gs")
+        assert self.tiled_sweep in ("relocate", "rebuild", "bands")
+        assert self.tiled_band_rows >= 2 and self.tiled_band_k >= 1
         assert self.tiled_relocate_interval >= 1
         assert not (self.tiled_solver == "gs"
                     and self.tiled_relocate_interval > 1), (

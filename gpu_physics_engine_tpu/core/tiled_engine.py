@@ -134,6 +134,24 @@ class TiledEngine:
             lambda s, off: tiled.rebuild(s, config), donate_argnums=0)
             if config.tiled_rebuild_every > 0
             and config.tiled_sweep != "rebuild" else None)
+        # sectioned band rebuild (tiled_sweep="bands"): each periodic
+        # sweep ALSO rebuilds tiled_band_k stale-targeted row bands —
+        # ONE compiled program (row0 is traced) serves every position.
+        # The compile-feasible chain resolver for geometries where the
+        # monolithic rebuild does not compile (4M-GS: 81-min compile
+        # ERROR, docs/probes_r4/tpu_probe_gs_rebuild.jsonl).
+        if config.tiled_sweep == "bands":
+            self._band_fn = jax.jit(
+                lambda s, r0: tiled.rebuild_band(
+                    s, config, r0, rows=config.tiled_band_rows),
+                donate_argnums=0)
+            self._stale_rows_fn = jax.jit(
+                lambda s: tiled.stale_per_row(s, config))
+        else:
+            self._band_fn = None
+            self._stale_rows_fn = None
+        self._band_rot = getattr(self, "_band_rot", 0)
+        self.band_rebuilds = getattr(self, "band_rebuilds", 0)
         # counters survive recompiles (the watchdog's hysteresis-off
         # escalation calls _build_compiled mid-run; resetting would skew
         # the hybrid's rebuild phase and the rebuild_sweeps diagnostic)
@@ -276,6 +294,8 @@ class TiledEngine:
         # boundary measures the mitigated config, not the backlog
         self.state = (self._sweep_rb or self._sweep)(
             self.state, self._sweep_off())
+        if self._band_fn is not None:
+            self.state = self._apply_bands(self.state)
         self._since_reloc = 0
         self._wd_prev = float(self._stale_frac(self.state)) * 100.0
 
@@ -510,13 +530,44 @@ class TiledEngine:
     def _run_sweep(self):
         """One periodic sweep: the configured mechanism, with every
         k-th call upgraded to the wholesale rebuild when the hybrid is
-        on (config.tiled_rebuild_every)."""
+        on (config.tiled_rebuild_every); "bands" mode appends the
+        stale-targeted band rebuilds."""
         off = self._sweep_off()  # increments _sweep_count
         k = self.config.tiled_rebuild_every
         if self._sweep_rb is not None and k and self._sweep_count % k == 0:
             self.rebuild_sweeps += 1
             return self._sweep_rb(self.state, off)
-        return self._sweep(self.state, off)
+        state = self._sweep(self.state, off)
+        if self._band_fn is not None:
+            state = self._apply_bands(state)
+        return state
+
+    def _apply_bands(self, state):
+        """tiled_band_k band rebuilds at sweep cadence: greedy
+        top-stale-mass windows from the stale_per_row histogram (a
+        [TY]-int host fetch — one sync per sweep event), with a
+        rotating filler band so a flat histogram still gets full-grid
+        coverage over successive sweeps."""
+        cfg = self.config
+        _, TY, _ = tiled.tile_geometry(cfg)
+        B = min(cfg.tiled_band_rows, TY)
+        hist = np.asarray(self._stale_rows_fn(state))
+        win = np.convolve(hist, np.ones(B, np.int64), mode="valid")
+        starts = []
+        w = win.copy()
+        for _ in range(cfg.tiled_band_k):
+            i = int(w.argmax())
+            if w[i] <= 0:
+                break
+            starts.append(i)
+            w[max(0, i - B + 1):i + B] = -1  # suppress overlaps
+        while len(starts) < cfg.tiled_band_k:
+            self._band_rot = (self._band_rot + B) % max(TY - B + 1, 1)
+            starts.append(self._band_rot)
+        for r0 in starts:
+            state = self._band_fn(state, np.int32(r0))
+        self.band_rebuilds += len(starts)
+        return state
 
     def _reloc_off(self) -> bool:
         """True when this step may skip the relocate (the counter of
@@ -656,12 +707,16 @@ class TiledEngine:
         (loudly, into overflow_count)."""
         ring1, place_at = self._insert_fns()
         placed = jnp.zeros(np.asarray(radii).reshape(-1).shape[0], bool)
-        state, placed = ring1(self.state, pos, radii, ids, placed)
+        # ring1 donates self.state: rebind self.state IMMEDIATELY so an
+        # exception anywhere in the host far-spill path below leaves the
+        # engine holding a valid (conservative: spawns not yet counted)
+        # state instead of donated/invalidated buffers (ADVICE r4)
+        self.state, placed = ring1(self.state, pos, radii, ids, placed)
         if not bool(placed.all()):
             cfg = self.config
             t, TY, TX = tiled.tile_geometry(cfg)
             ty_hi = TY - 2  # the init tiler's spill bound
-            free = np.asarray((state.pid < 0).sum(axis=0))
+            free = np.asarray((self.state.pid < 0).sum(axis=0))
             p_np = np.asarray(pos)
             hty = np.clip((p_np[:, 1] // t).astype(np.int64) + 1, 1, ty_hi)
             htx = np.clip((p_np[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
@@ -671,16 +726,16 @@ class TiledEngine:
                 # mask ~found as "placed" so place_at skips them, then
                 # strip them back out of the result: only entries with a
                 # real host-found target count as placed
-                state, placed2 = place_at(
-                    state, pos, radii, ids,
+                self.state, placed2 = place_at(
+                    self.state, pos, radii, ids,
                     jnp.asarray(ty2), jnp.asarray(tx2),
                     placed | jnp.asarray(~found))
                 placed = placed | (placed2 & jnp.asarray(found))
         n_placed = int(jnp.sum(placed))
         self.state = dataclasses.replace(
-            state,
-            num_active=state.num_active + jnp.int32(n_placed),
-            overflow_count=state.overflow_count
+            self.state,
+            num_active=self.state.num_active + jnp.int32(n_placed),
+            overflow_count=self.state.overflow_count
             + jnp.int32(placed.shape[0] - n_placed))
         return self.state
 

@@ -39,6 +39,7 @@ path.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from functools import partial
 from typing import Tuple
@@ -668,6 +669,156 @@ def rebuild(state: TileState, config: SimConfig,
         overflow_count=state.overflow_count + lost)
 
 
+def stale_per_row(state: TileState, config: SimConfig):
+    """[TY] int32: live slots per STORAGE row whose home tile differs
+    from their storage tile — the per-row histogram of the stale-pair
+    population.  A few-KB host fetch that drives the band-rebuild
+    targeting (rebuild_band): bands go where the stale mass is."""
+    t, TY, TX = tile_geometry(config)
+    cap, _, _ = state.dims
+    live = state.occupied()
+    ty_h, tx_h = _tile_of(state.x, state.y, jnp.float32(t))
+    ty_h = jnp.clip(ty_h, 1, TY - 2)
+    tx_h = jnp.clip(tx_h, 1, TX - 2)
+    ty_s = jnp.broadcast_to(
+        jnp.arange(TY, dtype=_I32)[None, :, None], state.pid.shape)
+    tx_s = jnp.broadcast_to(
+        jnp.arange(TX, dtype=_I32)[None, None, :], state.pid.shape)
+    stale = live & ((ty_h != ty_s) | (tx_h != tx_s))
+    return jnp.sum(stale.astype(_I32), axis=(0, 2))
+
+
+def rebuild_band(state: TileState, config: SimConfig, row0,
+                 rows: int = 16, loser_cap: int = 1 << 13) -> TileState:
+    """Sectioned storage rebuild: the wholesale ``rebuild`` restricted
+    to the ``rows`` tile rows starting at traced ``row0``.
+
+    Why it exists: at the 4M-GS geometry (2.65M cells / 16M slots) the
+    monolithic ``rebuild`` program does not compile — an 81-minute
+    compile ERROR after five attempts across three sessions
+    (docs/probes_r4/tpu_probe_gs_rebuild.jsonl) — yet the stale-pair
+    creep it was meant to fix is structural (free-slot claims cannot
+    resolve displacement chains across full tiles; the reference pays
+    a wholesale rebuild every frame, grid.rs:322-332).  A band of
+    10-20 rows is a few-hundred-k-slot program: compiles everywhere,
+    costs ~tens of ms, and because ``row0`` is TRACED one compilation
+    serves every band position — the engine rotates/targets bands at
+    sweep cadence (stale_per_row picks where).
+
+    Semantics: every live slot stored in rows [row0, row0+rows) whose
+    HOME tile also lies in those rows is re-slotted at its home tile
+    (stable order); home-tile overflow spills to free slots within the
+    band (``loser_cap``-bounded, same loud contract as ``rebuild``).
+    Slots whose home lies outside the band are keepers — untouched, in
+    place; displacement chains are local (tpu_probe_gs4m_cadence), so
+    a band centered on the stale mass captures storage AND home for
+    the population it targets.
+
+    ``row0`` is clamped to [0, TY - rows]; ``rows`` and ``loser_cap``
+    are static.
+    """
+    t, TY, TX = tile_geometry(config)
+    cap, _, _ = state.dims
+    rows = min(rows, TY)
+    row0 = jnp.clip(jnp.asarray(row0, _I32), 0, TY - rows)
+    NT = rows * TX
+    S = cap * NT
+
+    def band(plane):
+        return jax.lax.dynamic_slice(
+            plane, (jnp.int32(0), row0, jnp.int32(0)), (cap, rows, TX))
+
+    bx, by, bpx, bpy, br, bpid = (band(p) for p in (
+        state.x, state.y, state.px, state.py, state.radius, state.pid))
+
+    live = bpid >= 0
+    ty_h, tx_h = _tile_of(bx, by, jnp.float32(t))
+    ty_h = jnp.clip(ty_h, 1, TY - 2)
+    tx_h = jnp.clip(tx_h, 1, TX - 2)
+    bty = ty_h - row0  # band-local home row
+    mover = live & (bty >= 0) & (bty < rows)
+    keeper = live & ~mover
+
+    # movers: stable sort by band-local home tile (keepers/dead -> end)
+    lin = jnp.where(mover, bty * TX + tx_h, NT).reshape(-1)
+    key, xs, ys, pxs, pys, rs, ps = jax.lax.sort(
+        (lin, bx.reshape(-1), by.reshape(-1), bpx.reshape(-1),
+         bpy.reshape(-1), br.reshape(-1), bpid.reshape(-1)),
+        num_keys=1, is_stable=True)
+    idx = jnp.arange(S, dtype=_I32)
+    first = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, 0))
+    rank = idx - start
+    in_band = key < NT
+
+    # free slots per tile = non-keeper slots; the j-th mover of a home
+    # group lands in the home tile's j-th free slot.  freerank is an
+    # exclusive running count over the (small, static) cap axis.
+    keeper_flat = keeper.reshape(cap, NT)
+    freerank = jnp.cumsum((~keeper_flat).astype(_I32), axis=0) - (
+        ~keeper_flat).astype(_I32)
+    nfree = jnp.sum((~keeper_flat).astype(_I32), axis=0)
+    # slot_of[t * cap + j] = k of the j-th free slot of tile t
+    slot_src = jnp.broadcast_to(
+        jnp.arange(cap, dtype=_I32)[:, None], (cap, NT))
+    slot_pos = jnp.where(~keeper_flat,
+                         jnp.arange(NT, dtype=_I32)[None, :] * cap
+                         + freerank, NT * cap)
+    slot_of = jnp.full(NT * cap + 1, 0, _I32).at[
+        slot_pos.reshape(-1)].set(slot_src.reshape(-1), mode="drop",
+                                  unique_indices=True)
+
+    win = in_band & (rank < nfree[jnp.minimum(key, NT - 1)])
+    dst_k = slot_of[jnp.minimum(key, NT - 1) * cap
+                    + jnp.minimum(rank, cap - 1)]
+    dst = jnp.where(win, dst_k * NT + key, S)
+
+    # start from keepers only, then scatter winners (unique dests)
+    def rebuilt(bplane, fill, vals):
+        base = jnp.where(keeper_flat, bplane.reshape(cap, NT),
+                         fill).reshape(-1)
+        return base.at[dst].set(vals, mode="drop", unique_indices=True)
+
+    nx = rebuilt(bx, 0.0, xs)
+    ny = rebuilt(by, 0.0, ys)
+    npx = rebuilt(bpx, 0.0, pxs)
+    npy = rebuilt(bpy, 0.0, pys)
+    nr = rebuilt(br, 0.0, rs)
+    npid = rebuilt(bpid, _EMPTY, ps)
+
+    # losers: home-group demand exceeded the home tile's free slots —
+    # zip into the band's remaining free slots (loud past loser_cap)
+    loser = in_band & ~win
+    n_losers = jnp.sum(loser.astype(_I32))
+    (lidx,) = jnp.nonzero(loser, size=loser_cap, fill_value=S)
+    l_live = lidx < S
+    lidx0 = jnp.where(l_live, lidx, 0)
+    (fidx,) = jnp.nonzero(npid < 0, size=loser_cap, fill_value=S)
+    ldst = jnp.where(l_live & (fidx < S), fidx, S)
+    nx = nx.at[ldst].set(xs[lidx0], mode="drop", unique_indices=True)
+    ny = ny.at[ldst].set(ys[lidx0], mode="drop", unique_indices=True)
+    npx = npx.at[ldst].set(pxs[lidx0], mode="drop", unique_indices=True)
+    npy = npy.at[ldst].set(pys[lidx0], mode="drop", unique_indices=True)
+    nr = nr.at[ldst].set(rs[lidx0], mode="drop", unique_indices=True)
+    npid = npid.at[ldst].set(ps[lidx0], mode="drop", unique_indices=True)
+    placed_losers = jnp.sum((ldst < S).astype(_I32))
+    lost = n_losers - placed_losers
+
+    def put(plane, bnew):
+        return jax.lax.dynamic_update_slice(
+            plane, bnew.reshape(cap, rows, TX),
+            (jnp.int32(0), row0, jnp.int32(0)))
+
+    return dataclasses.replace(
+        state,
+        x=put(state.x, nx), y=put(state.y, ny),
+        px=put(state.px, npx), py=put(state.py, npy),
+        radius=put(state.radius, nr), pid=put(state.pid, npid),
+        num_active=state.num_active - lost,
+        overflow_count=state.overflow_count + lost)
+
+
 # deterministic neighbor-fallback order for spawn inserts (home first):
 # a spawn whose home tile is storage-full goes to a nearby tile —
 # off-home storage is the deferred-mover invariant the pull relocate
@@ -682,9 +833,12 @@ INSERT_OFFSETS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
                   (-1, -1), (-1, 1), (1, -1), (1, 1))
 
 
+@functools.lru_cache(maxsize=None)
 def ring_offsets(ring: int):
     """(dy, dx) offsets at exact Chebyshev distance ``ring`` (row-major
-    scan order, matching the init tiler's spill rings)."""
+    scan order, matching the init tiler's spill rings).  Cached: the
+    far_targets ring scan re-walks the same rings for every entry, and
+    regenerating the tuples dominated its worst case (ADVICE r4)."""
     if ring == 0:
         return ((0, 0),)
     return tuple((dy, dx)
@@ -751,7 +905,16 @@ def far_targets(free_counts, ty_t, tx_t, todo, ty_hi, TX):
     oty = hty.copy()
     otx = htx.copy()
     found = np.zeros(oty.shape[0], bool)
+    # a full interior grid means no entry can land anywhere: conclude
+    # that in O(grid) up front instead of O(entries x grid) ring scans
+    # (at GS-class ~2.65M-tile geometries a refused burst would
+    # otherwise stall the host for minutes — ADVICE r4)
+    interior_free = int(free[1:ty_hi + 1, 1:TX - 1].sum())
+    if interior_free == 0:
+        return oty, otx, found
     for i in np.nonzero(np.asarray(todo))[0]:
+        if interior_free == 0:
+            break
         dest = None
         for ring in range(0, max(TY, TX)):
             for dy, dx in ring_offsets(ring):
@@ -766,6 +929,7 @@ def far_targets(free_counts, ty_t, tx_t, todo, ty_hi, TX):
         if dest is None:
             continue
         free[dest] -= 1
+        interior_free -= 1
         oty[i], otx[i] = dest
         found[i] = True
     return oty, otx, found

@@ -398,8 +398,11 @@ def make_sharded_insert(config: SimConfig, mesh: Mesh,
 
     Like the single-chip ops/tiled.insert_batch, a storage-full home
     tile falls back over ``offsets`` (static) — the reference never
-    refuses a spawn; the engine's host-side ring ladder widens offsets
-    until everyone is placed.  Rounds run in a fixed global order with
+    refuses a spawn; anyone still unplaced after this in-program ring-1
+    round goes through the engine's HOST far spill (download free
+    counts, ops/tiled.far_targets ring scan, one place-at-tiles
+    program — wider in-program rings were measured to blow up the jit
+    unroll).  Rounds run in a fixed global order with
     the placed mask psum-synced between rounds: within one round a
     particle's target tile row has exactly ONE owning chip, so no
     particle can be placed twice even when the fallback tile lies in a
@@ -527,17 +530,20 @@ class ShardedTiledEngine:
         from gpu_physics_engine_tpu.parallel.mesh import make_mesh
         from gpu_physics_engine_tpu.utils.timer import FrameTimer
 
-        if config.tiled_sweep == "rebuild":
+        if config.tiled_sweep in ("rebuild", "bands"):
             # the wholesale sort rebuild is a GLOBAL stable re-slot; a
             # slab-local rebuild would strand cross-slab movers and a
             # global one defeats the slab decomposition (an all-gather
-            # of every plane).  Loud, like the sharded-GS exclusion —
-            # the claim sweep + two-phase migration is the sharded
+            # of every plane).  Same for the band rebuild: a band
+            # straddling a slab boundary would need cross-slab slot
+            # claims.  Loud, like the sharded-GS exclusion — the claim
+            # sweep + two-phase migration is the sharded
             # storage-health mechanism (PARITY.md).
             raise ValueError(
-                "tiled_sweep='rebuild' is single-chip only: the sharded "
-                "engine's periodic exact sweep is the slab claim sweep "
-                "(set tiled_sweep='relocate' or run single-chip)")
+                f"tiled_sweep={config.tiled_sweep!r} is single-chip "
+                "only: the sharded engine's periodic exact sweep is "
+                "the slab claim sweep (set tiled_sweep='relocate' or "
+                "run single-chip)")
         if config.tiled_rebuild_every:
             # same exclusion as above: the hybrid's k-th sweep IS the
             # global rebuild
@@ -797,27 +803,31 @@ class ShardedTiledEngine:
         targets — the reference never refuses a spawn."""
         ring1, place_at = self._insert_fns()
         placed = jnp.zeros(np.asarray(radii).reshape(-1).shape[0], bool)
-        state, placed = ring1(self.state, pos, radii, ids, placed)
+        # ring1 donates self.state: rebind self.state IMMEDIATELY so an
+        # exception anywhere in the host far-spill path below leaves the
+        # engine holding a valid (conservative: spawns not yet counted)
+        # state instead of donated/invalidated buffers (ADVICE r4)
+        self.state, placed = ring1(self.state, pos, radii, ids, placed)
         if not bool(placed.all()):
             cfg = self.config
             t, TY, TX = tiled.tile_geometry(cfg)
             ty_hi = TY - 2  # real-grid spill bound; slab pads excluded
-            free = np.asarray((state.pid < 0).sum(axis=0))
+            free = np.asarray((self.state.pid < 0).sum(axis=0))
             p_np = np.asarray(pos)
             hty = np.clip((p_np[:, 1] // t).astype(np.int64) + 1, 1, ty_hi)
             htx = np.clip((p_np[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
             ty2, tx2, found = tiled.far_targets(
                 free, hty, htx, ~np.asarray(placed), ty_hi, TX)
             if found.any():
-                state, placed2 = place_at(
-                    state, pos, radii, ids, jnp.asarray(ty2),
+                self.state, placed2 = place_at(
+                    self.state, pos, radii, ids, jnp.asarray(ty2),
                     jnp.asarray(tx2), placed | jnp.asarray(~found))
                 placed = placed | (placed2 & jnp.asarray(found))
         n_placed = int(jnp.sum(placed))
         self.state = dataclasses.replace(
-            state,
-            num_active=state.num_active + jnp.int32(n_placed),
-            overflow_count=state.overflow_count
+            self.state,
+            num_active=self.state.num_active + jnp.int32(n_placed),
+            overflow_count=self.state.overflow_count
             + jnp.int32(placed.shape[0] - n_placed))
         return self.state
 

@@ -7,6 +7,9 @@ import jax.numpy as jnp
 from gpu_physics_engine_tpu.core.config import SimConfig, UNUSED_CELL_ID
 from gpu_physics_engine_tpu.ops import grid
 import reference_model as ref
+import pytest
+
+pytestmark = pytest.mark.quick
 
 CELL = 2.2  # cell size for radius-1 particles
 

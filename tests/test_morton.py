@@ -5,6 +5,9 @@ import jax.numpy as jnp
 
 from gpu_physics_engine_tpu.ops import morton
 import reference_model as ref
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_golden_values():

@@ -66,6 +66,48 @@ def test_sharded_loaded_long_horizon_no_jam(mesh8):
     assert deltas[-1] / per_window / n < 0.02, deltas
 
 
+def test_sharded_cross_topology_restore_with_spawn(mesh8):
+    """Checkpoint on 8 chips, resume on 4, spawn, burn in: conservation
+    holds across a topology change (moved here from __graft_entry__.
+    dryrun_multichip in round 5 — the second full program set it
+    compiles is what blew the driver's cold-compile budget; VERDICT r4
+    next-round #1a)."""
+    import os
+    import tempfile
+    from gpu_physics_engine_tpu.ops.tiled import export_particles
+    from gpu_physics_engine_tpu.parallel import mesh as mesh_lib
+    from gpu_physics_engine_tpu.parallel.tiled_shard import (
+        ShardedTiledEngine)
+
+    n_dev = 8
+    nd = 4 * n_dev
+    spawn_n = 4
+    cfg = SimConfig(
+        max_particles=nd + spawn_n, initial_particles=nd,
+        world_width=8.8, world_height=4.4 * n_dev, initial_radius=0.5,
+        sort_interval_steps=0, pipeline="tiled", tile_cap=4,
+        migration_capacity=64, halo_capacity=32,
+        tiled_collide="jnp", gravity=(0.0, -60.0), tile_max_radius=1.0)
+    eng = ShardedTiledEngine(cfg, mesh=mesh8, seed=0)
+    eng.run(ShardedTiledEngine.CHUNK)
+    eng.spawn_at((cfg.world_width / 2.0, cfg.world_height * 0.75),
+                 count=spawn_n, verbose=False)
+    n_total = nd + spawn_n
+    assert eng.num_particles() == n_total
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "ck.npz")
+        eng.save_checkpoint(ck)
+        del eng
+        eng2 = ShardedTiledEngine.from_checkpoint(
+            ck, mesh=mesh_lib.make_mesh(4))
+    assert eng2.num_particles() == n_total
+    eng2.run(2 * ShardedTiledEngine.CHUNK)
+    _, tp, _, _ = export_particles(eng2.state)
+    assert np.isfinite(tp).all()
+    assert tp.shape[0] == n_total, "cross-topology restore lost particles"
+
+
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-v"]))

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 
 from gpu_physics_engine_tpu.ops.sort import sort_pairs, argsort_u32
 from gpu_physics_engine_tpu.ops.scan import inclusive_scan, exclusive_scan
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_sort_reverse_ramp():

@@ -3,6 +3,9 @@
 import numpy as np
 
 from gpu_physics_engine_tpu import Engine, SimConfig
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _cfg(**kw):

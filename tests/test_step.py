@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from gpu_physics_engine_tpu import Engine, SimConfig, StepParams
 from gpu_physics_engine_tpu.core import state as sl
 from gpu_physics_engine_tpu.core.stepper import make_step
+import pytest
+
 import reference_model as ref
 
 
@@ -21,6 +23,7 @@ def _small_cfg(**kw):
     return SimConfig(**base)
 
 
+@pytest.mark.quick
 def test_single_step_matches_golden_model():
     """One full frame (no resort) vs the scalar numpy model: grid -> sorted
     pairs -> 4-color GS solve -> Verlet."""
@@ -61,6 +64,7 @@ def test_invariants_over_many_steps():
     assert (y >= r - 1e-5).all() and (y <= 64.0 - r + 1e-5).all()
 
 
+@pytest.mark.quick
 def test_determinism_same_seed():
     """Same seed => bitwise-identical trajectory (SURVEY.md §5: the colored
     solver is deterministic given fixed cell order)."""
