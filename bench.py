@@ -149,8 +149,8 @@ BASELINE_MS = {100_000: 1.03, 256_000: 1.28, 512_000: 1.88, 756_000: 2.53,
 # ~half of every step yet only moves storage, so running it every k-th
 # step wins 25-40% at every size.
 from gpu_physics_engine_tpu.core.tuned import (  # noqa: E402
-    TUNED_NEWTON as _NEWTON, TUNED_TILE_GEOMETRY as _TILE_GEOM,
-    tuned_overrides as _overrides)
+    QUALITY_EXPECTATION as _QUALITY, TUNED_NEWTON as _NEWTON,
+    TUNED_TILE_GEOMETRY as _TILE_GEOM, tuned_overrides as _overrides)
 
 SETTLE = 480     # steps before timing (mover churn decays).  Multiple of
                  # the 240-step sweep cadence so the settle phase runs the
@@ -537,6 +537,14 @@ def main():
                 "particle_steps_per_sec": round(n / ms * 1e3),
                 "variants": variants,
             }
+            # loud quality regression flag (core/tuned.py
+            # QUALITY_EXPECTATION: documented equilibrium + headroom)
+            exp = _QUALITY.get(n)
+            if exp and (defer_pct > exp[0] or stale_pct > exp[1]):
+                row["quality_note"] = (
+                    f"EXCEEDS documented bound: deferred "
+                    f"{defer_pct:.2f}% (bound {exp[0]}%), stale "
+                    f"{stale_pct:.2f}% (bound {exp[1]}%)")
             # the reference's metric: sim + render in one loop
             # (VERDICT r2 item 3) + per-size device render cost
             try:

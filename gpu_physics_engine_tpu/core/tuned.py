@@ -8,9 +8,19 @@ hardware sweeps on a TPU v5e chip (scripts/tpu_sweep_curve*.py,
 tpu_sweep_iv*.py; method + full tables in PERF.md).  This module is the
 single source of truth: bench.py and user code both read it.
 
-Rows are the fastest configs whose DEFERRED POPULATION (deferral rate x
-relocate interval — the physics-quality signal, PERF.md "Relocate
-interval") stays at or near the ~1%/step bound.
+Quality rule actually ENFORCED per row (PERF.md "quality rule"; the
+round-4 verdict asked for the bound text to match reality): a row is
+adopted only if, over a long horizon (>= 12 x 480-step windows; 21k
+steps for contested picks), it is (a) watchdog-free, (b) its deferred
+population is NON-ACCELERATING, and (c) its stale-pair equilibrium is
+bounded and not growing.  DEFERRED POPULATION (deferral rate x
+relocate interval) lands at or near ~1%/step for most rows, but that
+number is a tuning target, not the gate: 3M settles at ~3.9% deferred
+/ declining 0.24% stale (dancers + granular-clustering latency — the
+21k-step probe, tpu_probe_horizon20k) and 100k at ~1.1%/1.36%
+(coarse-tile cluster-overflow equilibrium, cadence-independent).
+bench.py flags any row whose deferred/stale exceeds the documented
+per-row expectation (quality_note) so regressions are loud.
 
 The rows track the reference curve's DENSITY: n particles of radius ~0.5
 in the fixed 3048x1048 world (2.5% area fill at 100k up to ~100% packed
@@ -70,6 +80,22 @@ TUNED_TILE_GEOMETRY = {
 # storage-jam avalanche (deferred population 1% -> 74% over 5760
 # steps) and MUST be off; at the coarse-tile small sizes turning it
 # off floods the matcher and jams the other way.
+# Documented per-row quality expectations: (deferred_pop_pct,
+# stale_pct) upper bounds = the measured long-horizon equilibrium plus
+# headroom.  The adoption gate is the long-horizon rule in the module
+# docstring; these make BENCH regressions loud — bench.py attaches a
+# quality_note to any row exceeding its expectation.
+QUALITY_EXPECTATION = {
+    100_000: (1.6, 2.0),    # 1.09%/1.36% r4: coarse-tile cluster equilib.
+    256_000: (1.2, 1.5),
+    512_000: (1.6, 2.8),    # rebuild-sweep class; s480/bands pending
+    756_000: (1.2, 1.0),
+    1_048_576: (1.0, 1.0),
+    2_000_000: (1.4, 1.0),
+    3_000_000: (4.5, 1.7),  # 3.48%/1.25% r4: dancers + clustering latency
+    4_194_304: (1.0, 1.0),
+}
+
 TUNED_OVERRIDES = {
     # Round-4 21k-step horizon verdicts (docs/probes_r4/
     # tpu_probe_prod_rebuild.jsonl + tpu_probe_hybrid.jsonl; PERF.md
