@@ -82,25 +82,27 @@ def _noc(x, one):
     return x * one
 
 
-def _cell_colors(shape: Tuple[int, int, int]):
+def _cell_colors(shape: Tuple[int, int, int], ty0=0):
     """Static checkerboard color 1..4 per tile (collision_solver.wgsl:55-58).
 
     Tile (ty, tx) holds cell coords (ty-1, tx-1) — the +1 border offset of
-    ops/tiled._tile_of."""
-    ty = jax.lax.broadcasted_iota(_I32, shape[1:], 0)
+    ops/tiled._tile_of.  ``ty0`` is the GLOBAL row of local row 0 (the
+    sharded-GS prototype passes its slab offset; 0 = single-chip)."""
+    ty = jax.lax.broadcasted_iota(_I32, shape[1:], 0) + ty0
     tx = jax.lax.broadcasted_iota(_I32, shape[1:], 1)
     return 1 + ((tx - 1) & 1) + 2 * (((ty - 1) & 1))
 
 
-def _memberships(state: TileState, t: float, one=None):
+def _memberships(state: TileState, t: float, one=None, ty0=0):
     """Frozen candidate masks: member[j][cap, TY, TX] == True where the
     particle in neighbor-offset j's slot is an occupant of THIS cell
-    (circle strictly overlaps this cell's AABB, grid.wgsl:117-129)."""
+    (circle strictly overlaps this cell's AABB, grid.wgsl:117-129).
+    ``ty0`` = GLOBAL row of local row 0 (sharded-GS prototype)."""
     if one is None:
         one = _traced_one(state)
     cap, TY, TX = state.dims
     tf = jnp.float32(t)
-    ty = jax.lax.broadcasted_iota(_I32, state.x.shape, 1)
+    ty = jax.lax.broadcasted_iota(_I32, state.x.shape, 1) + ty0
     tx = jax.lax.broadcasted_iota(_I32, state.x.shape, 2)
     # this cell's AABB (world coords; border offset -1)
     lox = (tx - 1).astype(jnp.float32) * tf
@@ -124,7 +126,8 @@ def _memberships(state: TileState, t: float, one=None):
     return member
 
 
-def _select_occupants(state: TileState, member, K: int):
+def _select_occupants(state: TileState, member, K: int,
+                      return_map: bool = False):
     """Per cell: the K ascending-pid occupants among the 36 candidate
     streams.  Returns lists of [TY, TX] arrays (x, y, r, pid per rank) and
     the overflow count (occupants beyond K, summed)."""
@@ -164,6 +167,10 @@ def _select_occupants(state: TileState, member, K: int):
     remaining = jnp.zeros_like(streams[0][0])
     for i, (pidi, *_rest) in enumerate(streams):
         remaining = remaining + (~taken[i] & (pidi < _BIGPID)).astype(_I32)
+    if return_map:
+        # per-cell overflow map (the sharded-GS prototype sums only its
+        # authoritative rows, then psums — ext rows would double count)
+        return ox, oy, orad, opid, remaining
     return ox, oy, orad, opid, jnp.sum(remaining)
 
 

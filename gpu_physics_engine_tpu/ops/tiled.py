@@ -689,9 +689,12 @@ def stale_per_row(state: TileState, config: SimConfig):
 
 
 def rebuild_band(state: TileState, config: SimConfig, row0,
-                 rows: int = 16, loser_cap: int = 1 << 13) -> TileState:
-    """Sectioned storage rebuild: the wholesale ``rebuild`` restricted
-    to the ``rows`` tile rows starting at traced ``row0``.
+                 rows: int = 16) -> TileState:
+    """Sectioned stale DRAIN: within the ``rows`` tile rows starting at
+    traced ``row0``, every stale slot (storage tile != home tile, home
+    inside the band) whose home tile has a DEAD slot is moved home;
+    everything else — at-home particles, stale without home room,
+    out-of-band homes — is left exactly in place.
 
     Why it exists: at the 4M-GS geometry (2.65M cells / 16M slots) the
     monolithic ``rebuild`` program does not compile — an 81-minute
@@ -701,21 +704,29 @@ def rebuild_band(state: TileState, config: SimConfig, row0,
     resolve displacement chains across full tiles; the reference pays
     a wholesale rebuild every frame, grid.rs:322-332).  A band of
     10-20 rows is a few-hundred-k-slot program: compiles everywhere,
-    costs ~tens of ms, and because ``row0`` is TRACED one compilation
-    serves every band position — the engine rotates/targets bands at
-    sweep cadence (stale_per_row picks where).
+    costs ~23 ms on v5e, and because ``row0`` is TRACED one
+    compilation serves every band position — the engine rotates/
+    targets bands at sweep cadence (stale_per_row picks where).
 
-    Semantics: every live slot stored in rows [row0, row0+rows) whose
-    HOME tile also lies in those rows is re-slotted at its home tile
-    (stable order); home-tile overflow spills to free slots within the
-    band (``loser_cap``-bounded, same loud contract as ``rebuild``).
-    Slots whose home lies outside the band are keepers — untouched, in
-    place; displacement chains are local (tpu_probe_gs4m_cadence), so
-    a band centered on the stale mass captures storage AND home for
-    the population it targets.
+    Why DRAIN and not a full re-slot: the first hardware probe
+    (docs/probes_r5/tpu_probe_gs_bands.jsonl gs4m_bands240_k2/_k6) ran
+    the wholesale-rebuild semantics per band — extract every in-band-
+    homed particle, winners at home, losers zipped to arbitrary band
+    free slots — and the stale population TRIPLED its creep rate
+    (5% -> 26% over 5k steps, dose-independent): at 103% fill the only
+    free slots are far from the dense regions, so the loser zip
+    destroyed the near-home locality the claim relocate maintains (a
+    particle stored ONE tile from home still collides correctly via
+    the 3x3 membership window; a far-scattered one misses everything).
+    The drain moves ONLY stale->home when home has room — monotone
+    improvement by construction, nobody else is touched, nothing can
+    scatter.  Chains resolve across successive sweeps: a departing
+    stale slot becomes a dead slot that lets the next band pass pull
+    the chain's tail home.
 
-    ``row0`` is clamped to [0, TY - rows]; ``rows`` and ``loser_cap``
-    are static.
+    Conservation is exact and unconditional (winners move, everyone
+    else stays; ``num_active``/``overflow_count`` unchanged).
+    ``row0`` is clamped to [0, TY - rows]; ``rows`` is static.
     """
     t, TY, TX = tile_geometry(config)
     cap, _, _ = state.dims
@@ -731,92 +742,75 @@ def rebuild_band(state: TileState, config: SimConfig, row0,
     bx, by, bpx, bpy, br, bpid = (band(p) for p in (
         state.x, state.y, state.px, state.py, state.radius, state.pid))
 
-    live = bpid >= 0
+    live = (bpid >= 0).reshape(cap, NT)
     ty_h, tx_h = _tile_of(bx, by, jnp.float32(t))
     ty_h = jnp.clip(ty_h, 1, TY - 2)
     tx_h = jnp.clip(tx_h, 1, TX - 2)
-    bty = ty_h - row0  # band-local home row
-    mover = live & (bty >= 0) & (bty < rows)
-    keeper = live & ~mover
+    bty = (ty_h - row0).reshape(cap, NT)  # band-local home row
+    lin_home = bty * TX + tx_h.reshape(cap, NT)
+    t_store = jnp.arange(NT, dtype=_I32)[None, :]
+    mover = (live & (bty >= 0) & (bty < rows)
+             & (lin_home != t_store))  # stale with in-band home ONLY
 
-    # movers: stable sort by band-local home tile (keepers/dead -> end)
-    lin = jnp.where(mover, bty * TX + tx_h, NT).reshape(-1)
-    key, xs, ys, pxs, pys, rs, ps = jax.lax.sort(
-        (lin, bx.reshape(-1), by.reshape(-1), bpx.reshape(-1),
-         bpy.reshape(-1), br.reshape(-1), bpid.reshape(-1)),
-        num_keys=1, is_stable=True)
+    # movers: stable sort of (home tile, source slot) — deterministic
+    # rank within each home group; fields are gathered via the source
+    # index (2-payload sort + 6 small gathers beats an 8-payload sort)
+    key = jnp.where(mover, lin_home, NT).reshape(-1)
+    src = jnp.arange(S, dtype=_I32)
+    key_s, src_s = jax.lax.sort((key, src), num_keys=1, is_stable=True)
     idx = jnp.arange(S, dtype=_I32)
-    first = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
     start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(first, idx, 0))
     rank = idx - start
-    in_band = key < NT
+    in_band = key_s < NT
 
-    # free slots per tile = non-keeper slots; the j-th mover of a home
-    # group lands in the home tile's j-th free slot.  freerank is an
-    # exclusive running count over the (small, static) cap axis.
-    keeper_flat = keeper.reshape(cap, NT)
-    freerank = jnp.cumsum((~keeper_flat).astype(_I32), axis=0) - (
-        ~keeper_flat).astype(_I32)
-    nfree = jnp.sum((~keeper_flat).astype(_I32), axis=0)
-    # slot_of[t * cap + j] = k of the j-th free slot of tile t
+    # dead slots per home tile; the j-th ranked mover of a home group
+    # lands in the home tile's j-th dead slot.  deadrank = exclusive
+    # running count over the (small, static) cap axis.
+    dead = ~live
+    deadrank = jnp.cumsum(dead.astype(_I32), axis=0) - dead.astype(_I32)
+    ndead = jnp.sum(dead.astype(_I32), axis=0)
+    # slot_of[t * cap + j] = k of the j-th dead slot of tile t
     slot_src = jnp.broadcast_to(
         jnp.arange(cap, dtype=_I32)[:, None], (cap, NT))
-    slot_pos = jnp.where(~keeper_flat,
+    slot_pos = jnp.where(dead,
                          jnp.arange(NT, dtype=_I32)[None, :] * cap
-                         + freerank, NT * cap)
+                         + deadrank, NT * cap)
     slot_of = jnp.full(NT * cap + 1, 0, _I32).at[
         slot_pos.reshape(-1)].set(slot_src.reshape(-1), mode="drop",
                                   unique_indices=True)
 
-    win = in_band & (rank < nfree[jnp.minimum(key, NT - 1)])
-    dst_k = slot_of[jnp.minimum(key, NT - 1) * cap
-                    + jnp.minimum(rank, cap - 1)]
-    dst = jnp.where(win, dst_k * NT + key, S)
+    key_c = jnp.minimum(key_s, NT - 1)
+    win = in_band & (rank < ndead[key_c])
+    dst_k = slot_of[key_c * cap + jnp.minimum(rank, cap - 1)]
+    dst = jnp.where(win, dst_k * NT + key_c, S)
+    win_src = jnp.where(win, src_s, S)
+    src_g = jnp.where(win, src_s, 0)
 
-    # start from keepers only, then scatter winners (unique dests)
-    def rebuilt(bplane, fill, vals):
-        base = jnp.where(keeper_flat, bplane.reshape(cap, NT),
-                         fill).reshape(-1)
-        return base.at[dst].set(vals, mode="drop", unique_indices=True)
+    # winner destinations are dead slots, winner sources are live
+    # slots — disjoint, so clear-then-set never collides
+    def moved(bplane, fill):
+        flat = bplane.reshape(-1)
+        vals = flat[src_g]
+        out = flat.at[win_src].set(fill, mode="drop",
+                                   unique_indices=True)
+        return out.at[dst].set(vals, mode="drop", unique_indices=True)
 
-    nx = rebuilt(bx, 0.0, xs)
-    ny = rebuilt(by, 0.0, ys)
-    npx = rebuilt(bpx, 0.0, pxs)
-    npy = rebuilt(bpy, 0.0, pys)
-    nr = rebuilt(br, 0.0, rs)
-    npid = rebuilt(bpid, _EMPTY, ps)
-
-    # losers: home-group demand exceeded the home tile's free slots —
-    # zip into the band's remaining free slots (loud past loser_cap)
-    loser = in_band & ~win
-    n_losers = jnp.sum(loser.astype(_I32))
-    (lidx,) = jnp.nonzero(loser, size=loser_cap, fill_value=S)
-    l_live = lidx < S
-    lidx0 = jnp.where(l_live, lidx, 0)
-    (fidx,) = jnp.nonzero(npid < 0, size=loser_cap, fill_value=S)
-    ldst = jnp.where(l_live & (fidx < S), fidx, S)
-    nx = nx.at[ldst].set(xs[lidx0], mode="drop", unique_indices=True)
-    ny = ny.at[ldst].set(ys[lidx0], mode="drop", unique_indices=True)
-    npx = npx.at[ldst].set(pxs[lidx0], mode="drop", unique_indices=True)
-    npy = npy.at[ldst].set(pys[lidx0], mode="drop", unique_indices=True)
-    nr = nr.at[ldst].set(rs[lidx0], mode="drop", unique_indices=True)
-    npid = npid.at[ldst].set(ps[lidx0], mode="drop", unique_indices=True)
-    placed_losers = jnp.sum((ldst < S).astype(_I32))
-    lost = n_losers - placed_losers
-
-    def put(plane, bnew):
+    def put(plane, flat):
         return jax.lax.dynamic_update_slice(
-            plane, bnew.reshape(cap, rows, TX),
+            plane, flat.reshape(cap, rows, TX),
             (jnp.int32(0), row0, jnp.int32(0)))
 
     return dataclasses.replace(
         state,
-        x=put(state.x, nx), y=put(state.y, ny),
-        px=put(state.px, npx), py=put(state.py, npy),
-        radius=put(state.radius, nr), pid=put(state.pid, npid),
-        num_active=state.num_active - lost,
-        overflow_count=state.overflow_count + lost)
+        x=put(state.x, moved(bx, 0.0)),
+        y=put(state.y, moved(by, 0.0)),
+        px=put(state.px, moved(bpx, 0.0)),
+        py=put(state.py, moved(bpy, 0.0)),
+        radius=put(state.radius, moved(br, 0.0)),
+        pid=put(state.pid, moved(bpid, _EMPTY)))
 
 
 # deterministic neighbor-fallback order for spawn inserts (home first):
