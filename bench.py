@@ -595,6 +595,8 @@ def main():
                (3_000_000, "gs_3m"), (4_194_304, "gs_4m"))
     if degraded:
         gs_rows = ((4_194_304, "gs_4m"),)
+    if headline_only:
+        gs_rows = ()
     for gs_n, key in gs_rows:
         if _elapsed() > soft_deadline_s:
             break

@@ -16,7 +16,11 @@ verdict (VERDICT r4 next #7):
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")  # `python scripts/x.py` puts scripts/
+                                  # on sys.path, not the repo root
 
 os.environ.setdefault(
     "XLA_FLAGS",
