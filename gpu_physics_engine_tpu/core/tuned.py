@@ -47,7 +47,12 @@ TUNED_NEWTON = True
 # rows re-swept under tiled_newton + tiled_uniform_radius
 # (scripts/tpu_sweep_iv3.py; ms / vs-baseline / deferred population)
 TUNED_TILE_GEOMETRY = {
-    100_000: (22.0, 8, 128, "greedy", 2),   # 0.320 ms 3.22x @0.82% (iv3)
+    # 100k cap 8 -> 10 (round-5 quality probe, docs/probes_r5/
+    # tpu_probe_quality_r5.jsonl): +0.1 ms buys stale 1.57 -> 0.35%
+    # and deferred 1.56 -> 0.29% — the coarse-tile cluster-overflow
+    # residue WAS capacity-bound (cap12 pins it at 0.07% for another
+    # +0.14 ms; cap10 is the knee).
+    100_000: (22.0, 10, 128, "greedy", 2),  # 0.600 ms 1.72x @0.29%
     256_000: (12.1, 9, 128, "greedy", 2),   # 0.847 ms 1.51x @0.70% (iv3)
     512_000: (6.6, 7, 128, "greedy", 4),    # 1.072 ms 1.75x @1.06% (iv3)
     756_000: (4.4, 5, 32, "greedy", 4),     # 1.172 ms 2.16x @0.69% (iv4)
@@ -56,8 +61,11 @@ TUNED_TILE_GEOMETRY = {
     # 3M re-tuned round 3 (scripts/tpu_probe_horizon20k.py
     # 3m_alt_mult44): 1.83 ms = 8.5x at 21k-step stability — stale-pair
     # DECLINES 1.37% -> 0.24% while deferred population holds ~3.9%
-    # (dancers + clustering latency, not a jam; the old (3.3, 6) pick
-    # measures 3.14 ms @0.0015% stale if quality-maximal is wanted)
+    # (dancers + clustering latency, not a jam).  Round-5 re-checks
+    # (tpu_probe_quality_r5.jsonl): the old (3.3, 6) quality-max pick
+    # now measures 4.6 ms (not its round-2 3.14 — the Newton/uniform
+    # reworks moved the optimum) and the band drain changes nothing
+    # here (stale 1.15 vs 1.18: dancers, not chains) — incumbent holds.
     3_000_000: (4.4, 6, 16, "greedy", 4),
 
     # 4M: the ONLY long-horizon-stable config class at this density
@@ -86,7 +94,7 @@ TUNED_TILE_GEOMETRY = {
 # docstring; these make BENCH regressions loud — bench.py attaches a
 # quality_note to any row exceeding its expectation.
 QUALITY_EXPECTATION = {
-    100_000: (1.6, 2.0),    # 1.09%/1.36% r4: coarse-tile cluster equilib.
+    100_000: (0.6, 0.8),    # cap10 r5: 0.29%/0.35% measured + headroom
     256_000: (1.2, 1.5),
     512_000: (1.6, 2.8),    # rebuild-sweep class; s480/bands pending
     756_000: (1.2, 1.0),

@@ -114,6 +114,22 @@ health("gs4m_drain240_k6",
                                   tiled_band_rows=16, tiled_band_k=6),
                            seed=0, chunk=16), windows=8)
 
+# (c2) cap 7: the drain can only move stale into DEAD slots — at cap 6
+# / 103% fill the dense regions have almost none (the structural
+# floor).  cap 7 adds a full spare plane of dead slots everywhere;
+# if the floor is capacity-bound this is where stale actually sinks.
+# (cap is storage only — bit-exactness is cap-independent, round 3.)
+health("gs4m_cap7_drain240_k2",
+       lambda: TiledEngine(gs_cfg(4_194_304, 7, tiled_sweep="bands",
+                                  sort_interval_steps=240,
+                                  tiled_band_rows=16, tiled_band_k=2),
+                           seed=0, chunk=16), windows=12)
+# cap-7 control without bands: is it the cap or the drain?
+health("gs4m_cap7_ctl",
+       lambda: TiledEngine(gs_cfg(4_194_304, 7,
+                                  sort_interval_steps=240),
+                           seed=0, chunk=16), windows=8)
+
 # (d) 512k engine class at the incumbent geometry
 from gpu_physics_engine_tpu.core.tuned import TUNED_NEWTON  # noqa: E402
 
