@@ -65,6 +65,16 @@ from gpu_physics_engine_tpu.ops.tiled import MIN_DISTANCE, TileState
 BAND = 8  # rows per program = f32 sublane tile
 
 
+def _vmem_limit() -> int:
+    """Scoped-VMEM limit for every kernel here.  116M default (v5e has
+    128M physical; the 16M Mosaic default stack-OOMs these kernels —
+    round-1 finding).  GPE_VMEM_LIMIT_MB overrides for edge probes:
+    the 32M-particle relocate-apply missed 116M by 5.95M at TX=7392
+    (docs/probes_r5/tpu_probe_32m.jsonl cap5 signature)."""
+    import os
+    return int(os.environ.get("GPE_VMEM_LIMIT_MB", "116")) * (1 << 20)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -490,7 +500,7 @@ def collide_pallas(state: TileState, config: SimConfig,
     # stack temporaries blow the 16MB default scoped-VMEM limit (measured
     # 19.25M blocks-only at cap=16, TX=1388; stack OOMs appear even on
     # small worlds).  v5e has 128M physical VMEM; use a flat generous cap.
-    vmem_bytes = 116 * (1 << 20)
+    vmem_bytes = _vmem_limit()
     scratch = _newton_scratch(cap, TX) if newton else []
     nx, ny = pl.pallas_call(
         kernel,
@@ -568,7 +578,7 @@ def collide_integrate_pallas(state: TileState, params, config: SimConfig,
             _sds((cap, TYp, TX), jnp.float32, vma) for _ in range(4)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=116 * (1 << 20)),
+            vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(*args)
     nx, ny, npx, npy = outs
@@ -992,7 +1002,7 @@ def relocate_pallas(state: TileState, config: SimConfig,
         return [pl.BlockSpec((cap, BAND, TX), m, memory_space=pltpu.VMEM)
                 for m in (up, mid, dn)]
 
-    vmem = pltpu.CompilerParams(vmem_limit_bytes=116 * (1 << 20))
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit())
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     plan = pl.pallas_call(
@@ -1235,7 +1245,7 @@ def relocate_pallas_one(state: TileState, config: SimConfig,
             + [jax.ShapeDtypeStruct((cap, TYp, TX), jnp.int32),
                jax.ShapeDtypeStruct((TYp, TX), jnp.int32)]),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=116 * (1 << 20)),
+            vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(r0,
       *[a for n in ("x", "y", "px", "py", "r", "pid")
