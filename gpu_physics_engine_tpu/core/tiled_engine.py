@@ -272,11 +272,24 @@ class TiledEngine:
             return  # healthy
         if prev is None:
             return  # first boundary: no slope yet
-        if pct <= max(prev * 1.25, prev + 0.2):
+        # a slow LINEAR creep defeats a pure slope gate: +0.6%/boundary
+        # grows 10-13% relatively once pct is large, always under the
+        # 1.25x test — measured riding 5% -> 26% without one trip
+        # (docs/probes_r5/tpu_probe_gs_bands.jsonl).  Past 4x the bound
+        # the level is a jam regardless of slope.
+        growing = pct > max(prev * 1.25, prev + 0.2)
+        runaway = pct > 4.0 * bound
+        if not growing and not runaway:
             return  # high but not growing (a settled plateau is the
                     # user's geometry choice, not a jam)
         self.watchdog_events += 1
-        self._wd_level = min(self._wd_level + 1, 3)
+        if growing:
+            self._wd_level = min(self._wd_level + 1, 3)
+        else:
+            # plateau-runaway: drain loudly every boundary, but never
+            # ratchet config (hysteresis/cap) without a growth signal —
+            # a structural plateau would otherwise grow cap unboundedly
+            self._wd_level = max(self._wd_level, 1)
         act = {1: "forced exact sweep",
                2: "hysteresis off",
                3: f"tile_cap {cfg.tile_cap} -> {cfg.tile_cap + 1}"}[

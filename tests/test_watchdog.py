@@ -113,6 +113,33 @@ def test_watchdog_quiet_on_healthy_run():
     assert eng.watchdog_events == 0
 
 
+def test_watchdog_runaway_ceiling_catches_flat_creep(capsys):
+    """A stale population past 4x the bound trips the watchdog even
+    when the slope gate reads 'not growing' — the round-5 hardware
+    probe rode 5% -> 26% in +10-13%/boundary increments without one
+    trip (docs/probes_r5/tpu_probe_gs_bands.jsonl).  Plateau-runaway
+    drains (level 1) but must NOT ratchet hysteresis/cap without a
+    growth signal."""
+    eng = _engine()  # bound 4% -> runaway ceiling 16%
+    cap0 = eng.config.tile_cap
+    eng.run(2)  # baseline boundary (prev set)
+    _inject(eng, 24)  # ~50% stale, far past the ceiling
+    eng.run(2)  # slope trip (growing)
+    ev1 = eng.watchdog_events
+    assert ev1 >= 1
+    # re-inject the SAME level each boundary: no growth, still runaway
+    for _ in range(2):
+        _inject(eng, 24)
+        # force prev to the same high level so the slope gate is cold
+        eng._wd_prev = float(jax.jit(lambda s: tiled.stale_pair_fraction(
+            s, eng.config))(eng.state)) * 100.0
+        eng._watchdog()
+    assert eng.watchdog_events >= ev1 + 2, "runaway ceiling never fired"
+    assert eng.config.tile_cap == cap0, (
+        "plateau-runaway must not ratchet capacity")
+    assert "[tiled][watchdog]" in capsys.readouterr().out
+
+
 def test_watchdog_off_switch():
     eng = None
     cfg_off = dict(tiled_watchdog=False)
