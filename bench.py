@@ -492,6 +492,30 @@ def main():
                      f"(every {_REPING_S}s)",
         }), flush=True)
         os._exit(0)  # the stuck fetch threads cannot be joined
+    if fetch_s > _DEGRADED_FETCH_S:
+        # the FIRST fetch pays client/device init over the tunnel
+        # (measured 80 s in an otherwise healthy round-5 session whose
+        # rows then ran at full speed) — a second, fresh tiny compile
+        # isolates the compile service's actual state before dooming
+        # the run to the degraded tier
+        result2 = {}
+        # unique length per run so the persistent cache cannot serve a
+        # stale hit and mask a slow compile service
+        n2 = 17 + int(time.time()) % 97
+
+        def probe2():
+            import jax.numpy as jnp
+            t0 = time.time()
+            if float(jnp.arange(float(n2)).sum()) == n2 * (n2 - 1) / 2:
+                result2["s"] = time.time() - t0
+
+        th2 = threading.Thread(target=probe2, daemon=True)
+        th2.start()
+        th2.join(min(300.0, _HARD_DEADLINE_S - _elapsed() - 420))
+        fetch2 = result2.get("s", float("inf"))
+        print(f"[bench] first fetch {fetch_s:.0f}s; fresh-compile "
+              f"re-check {fetch2:.0f}s", file=sys.stderr, flush=True)
+        fetch_s = min(fetch_s, fetch2)
     remaining_s = _HARD_DEADLINE_S - _elapsed()
     degraded = fetch_s > _DEGRADED_FETCH_S or remaining_s < 1500
     headline_only = remaining_s < 700

@@ -10,6 +10,7 @@ are comparable with the slot-ordered engines.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Optional, Tuple
 
@@ -80,6 +81,7 @@ class TiledEngine:
         self.watchdog_events = 0
         self._wd_level = 0      # monotonic escalation within this engine
         self._wd_prev = None    # displaced pct at the previous boundary
+        self._wd_retile_pct = None  # stale at the last +1-cap retile
         self._build_compiled()
         self.timer = FrameTimer().start()
         self.mouse_pos: Tuple[float, float] = (0.0, 0.0)
@@ -145,8 +147,11 @@ class TiledEngine:
                 lambda s, r0: tiled.rebuild_band(
                     s, config, r0, rows=config.tiled_band_rows),
                 donate_argnums=0)
+            # DRAINABLE mass only (max_dy): far-spilled stale no band
+            # can contain at both ends must not capture the targeting
             self._stale_rows_fn = jax.jit(
-                lambda s: tiled.stale_per_row(s, config))
+                lambda s: tiled.stale_per_row(
+                    s, config, max_dy=config.tiled_band_rows))
         else:
             self._band_fn = None
             self._stale_rows_fn = None
@@ -290,17 +295,35 @@ class TiledEngine:
             # ratchet config (hysteresis/cap) without a growth signal —
             # a structural plateau would otherwise grow cap unboundedly
             self._wd_level = max(self._wd_level, 1)
+        if self._wd_level >= 3 and self._wd_retile_pct is not None \
+                and pct >= self._wd_retile_pct:
+            # retile futility self-disarm: the last +1-cap retile did
+            # not reduce the stale population — the jam is STRUCTURAL
+            # (measured at 4M-GS: cap 6 -> 9 ratcheted in consecutive
+            # boundaries, each a ~200 s full recompile, stale still
+            # climbing — docs/probes_r5/tpu_probe_gs_bands2.jsonl).
+            # Hold at forced-sweep containment instead of paying
+            # unbounded recompiles for nothing.
+            print("[tiled][watchdog] capacity growth did not reduce "
+                  f"stale ({pct:.2f}% >= {self._wd_retile_pct:.2f}% at "
+                  "the last retile): structural jam — holding at "
+                  "forced-sweep containment")
+            self._wd_level = 1
         act = {1: "forced exact sweep",
                2: "hysteresis off",
                3: f"tile_cap {cfg.tile_cap} -> {cfg.tile_cap + 1}"}[
                    self._wd_level]
+        why = (f"growing (was {prev:.2f}%)" if growing
+               else f"past the {4.0 * bound:.0f}% runaway ceiling "
+                    f"(flat, was {prev:.2f}%)")
         print(f"[tiled][watchdog] stale-pair population {pct:.2f}% > "
-              f"{bound}% and growing (was {prev:.2f}%): {act}")
+              f"{bound}% and {why}: {act}")
         if self._wd_level >= 2 and cfg.hysteresis_delta > 0.0:
             self.config = self.config.replace(tiled_hysteresis=0.0)
             self._build_compiled()
         if self._wd_level >= 3:
             self._retile_cap(self.config.tile_cap + 1)
+            self._wd_retile_pct = pct  # futility check at the next trip
             self._wd_level = 2  # cap growth is repeatable
         # every level drains the backlog with the strongest available
         # sweep (the rebuild when the hybrid is configured) so the next
@@ -574,8 +597,15 @@ class TiledEngine:
                 break
             starts.append(i)
             w[max(0, i - B + 1):i + B] = -1  # suppress overlaps
+        # filler stride must be coprime with the modulus or the cycle
+        # skips rows (gcd(B, TY-B+1) > 1 for some user band sizes —
+        # round-5 review finding)
+        M = max(TY - B + 1, 1)
+        stride = B
+        while math.gcd(stride, M) != 1:
+            stride += 1
         while len(starts) < cfg.tiled_band_k:
-            self._band_rot = (self._band_rot + B) % max(TY - B + 1, 1)
+            self._band_rot = (self._band_rot + stride) % M
             starts.append(self._band_rot)
         for r0 in starts:
             state = self._band_fn(state, np.int32(r0))
@@ -713,44 +743,11 @@ class TiledEngine:
         rebuild, state.rs:187-200 / grid.rs:265-291), so a storage-full
         3x3 neighborhood spills to the nearest free tile — off-home
         storage is a deferred mover the relocate walks home.  The far
-        spill runs on the HOST (spawns are rare and host-triggered):
-        download per-tile free counts, ring-scan in numpy (the init
-        tiler's logic), then one small place-at-tiles program — no
-        wide-ring jit unrolls.  Only a full interior grid refuses
-        (loudly, into overflow_count)."""
+        spill runs on the HOST (spawns are rare and host-triggered);
+        shared flow: ops/tiled.spawn_insert_into."""
         ring1, place_at = self._insert_fns()
-        placed = jnp.zeros(np.asarray(radii).reshape(-1).shape[0], bool)
-        # ring1 donates self.state: rebind self.state IMMEDIATELY so an
-        # exception anywhere in the host far-spill path below leaves the
-        # engine holding a valid (conservative: spawns not yet counted)
-        # state instead of donated/invalidated buffers (ADVICE r4)
-        self.state, placed = ring1(self.state, pos, radii, ids, placed)
-        if not bool(placed.all()):
-            cfg = self.config
-            t, TY, TX = tiled.tile_geometry(cfg)
-            ty_hi = TY - 2  # the init tiler's spill bound
-            free = np.asarray((self.state.pid < 0).sum(axis=0))
-            p_np = np.asarray(pos)
-            hty = np.clip((p_np[:, 1] // t).astype(np.int64) + 1, 1, ty_hi)
-            htx = np.clip((p_np[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
-            ty2, tx2, found = tiled.far_targets(
-                free, hty, htx, ~np.asarray(placed), ty_hi, TX)
-            if found.any():
-                # mask ~found as "placed" so place_at skips them, then
-                # strip them back out of the result: only entries with a
-                # real host-found target count as placed
-                self.state, placed2 = place_at(
-                    self.state, pos, radii, ids,
-                    jnp.asarray(ty2), jnp.asarray(tx2),
-                    placed | jnp.asarray(~found))
-                placed = placed | (placed2 & jnp.asarray(found))
-        n_placed = int(jnp.sum(placed))
-        self.state = dataclasses.replace(
-            self.state,
-            num_active=self.state.num_active + jnp.int32(n_placed),
-            overflow_count=self.state.overflow_count
-            + jnp.int32(placed.shape[0] - n_placed))
-        return self.state
+        return tiled.spawn_insert_into(self, ring1, place_at,
+                                       pos, radii, ids)
 
     def spawn_at(self, world_pos, count: Optional[int] = None,
                  verbose: bool = True):

@@ -15,10 +15,11 @@ steps for contested picks), it is (a) watchdog-free, (b) its deferred
 population is NON-ACCELERATING, and (c) its stale-pair equilibrium is
 bounded and not growing.  DEFERRED POPULATION (deferral rate x
 relocate interval) lands at or near ~1%/step for most rows, but that
-number is a tuning target, not the gate: 3M settles at ~3.9% deferred
-/ declining 0.24% stale (dancers + granular-clustering latency — the
-21k-step probe, tpu_probe_horizon20k) and 100k at ~1.1%/1.36%
-(coarse-tile cluster-overflow equilibrium, cadence-independent).
+number is a tuning target, not the gate: 3M settles at ~3.6% deferred
+/ ~1.2% stale (dancers + granular-clustering latency — the 21k-step
+probe tpu_probe_horizon20k; re-confirmed round 5).  100k's old
+cluster-overflow residue (1.56%/1.57% at cap 8) was capacity-bound:
+the adopted cap-10 row runs 0.29%/0.35% (tpu_probe_quality_r5).
 bench.py flags any row whose deferred/stale exceeds the documented
 per-row expectation (quality_note) so regressions are loud.
 

@@ -575,6 +575,19 @@ def relocate(state: TileState, config: SimConfig, m_cap: int | None = None,
         overflow_count=state.overflow_count + deferred + not_placed)
 
 
+def _group_rank(key_sorted):
+    """Rank of each entry within its equal-key group, for an ascending
+    stably-sorted key vector: a max-scan over group-start indices
+    (shared by rebuild and rebuild_band)."""
+    n = key_sorted.shape[0]
+    idx = jnp.arange(n, dtype=_I32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, 0))
+    return idx - start
+
+
 def rebuild(state: TileState, config: SimConfig,
             loser_cap: int = 1 << 16) -> TileState:
     """Wholesale storage rebuild: every live particle re-slotted at its
@@ -619,12 +632,7 @@ def rebuild(state: TileState, config: SimConfig,
          state.radius.reshape(-1), state.pid.reshape(-1)),
         num_keys=1, is_stable=True)
 
-    idx = jnp.arange(S, dtype=_I32)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), key[1:] != key[:-1]])
-    start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, idx, 0))
-    rank = idx - start
+    rank = _group_rank(key)
     in_grid = key < ntiles
     win = in_grid & (rank < cap)
     dst = jnp.where(win, rank * ntiles + key, S)
@@ -669,11 +677,19 @@ def rebuild(state: TileState, config: SimConfig,
         overflow_count=state.overflow_count + lost)
 
 
-def stale_per_row(state: TileState, config: SimConfig):
+def stale_per_row(state: TileState, config: SimConfig,
+                  max_dy: int = 0):
     """[TY] int32: live slots per STORAGE row whose home tile differs
     from their storage tile — the per-row histogram of the stale-pair
     population.  A few-KB host fetch that drives the band-rebuild
-    targeting (rebuild_band): bands go where the stale mass is."""
+    targeting (rebuild_band): bands go where the stale mass is.
+
+    ``max_dy`` > 0 counts only DRAINABLE stale — |home row - storage
+    row| < max_dy, i.e. mass a max_dy-row band can actually contain at
+    both ends.  Without the filter, far-spilled populations (storage
+    rings span the whole grid after a refused burst) register spikes
+    no band placed there can drain, and argmax targeting would park
+    every band on them forever (round-5 review finding)."""
     t, TY, TX = tile_geometry(config)
     cap, _, _ = state.dims
     live = state.occupied()
@@ -685,6 +701,8 @@ def stale_per_row(state: TileState, config: SimConfig):
     tx_s = jnp.broadcast_to(
         jnp.arange(TX, dtype=_I32)[None, None, :], state.pid.shape)
     stale = live & ((ty_h != ty_s) | (tx_h != tx_s))
+    if max_dy > 0:
+        stale = stale & (jnp.abs(ty_h - ty_s) < max_dy)
     return jnp.sum(stale.astype(_I32), axis=(0, 2))
 
 
@@ -758,12 +776,7 @@ def rebuild_band(state: TileState, config: SimConfig, row0,
     key = jnp.where(mover, lin_home, NT).reshape(-1)
     src = jnp.arange(S, dtype=_I32)
     key_s, src_s = jax.lax.sort((key, src), num_keys=1, is_stable=True)
-    idx = jnp.arange(S, dtype=_I32)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-    start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, idx, 0))
-    rank = idx - start
+    rank = _group_rank(key_s)
     in_band = key_s < NT
 
     # dead slots per home tile; the j-th ranked mover of a home group
@@ -775,10 +788,14 @@ def rebuild_band(state: TileState, config: SimConfig, row0,
     # slot_of[t * cap + j] = k of the j-th dead slot of tile t
     slot_src = jnp.broadcast_to(
         jnp.arange(cap, dtype=_I32)[:, None], (cap, NT))
+    # non-dead slots get the OUT-of-bounds sentinel NT*cap so drop-mode
+    # discards them — keeping the unique_indices promise honest (an
+    # in-bounds shared sentinel under unique_indices=True is undefined
+    # behavior; round-5 review finding)
     slot_pos = jnp.where(dead,
                          jnp.arange(NT, dtype=_I32)[None, :] * cap
                          + deadrank, NT * cap)
-    slot_of = jnp.full(NT * cap + 1, 0, _I32).at[
+    slot_of = jnp.full(NT * cap, 0, _I32).at[
         slot_pos.reshape(-1)].set(slot_src.reshape(-1), mode="drop",
                                   unique_indices=True)
 
@@ -927,6 +944,52 @@ def far_targets(free_counts, ty_t, tx_t, todo, ty_hi, TX):
         oty[i], otx[i] = dest
         found[i] = True
     return oty, otx, found
+
+
+def spawn_insert_into(engine, ring1, place_at, positions, radii, ids):
+    """Shared spawn-insert flow for TiledEngine and ShardedTiledEngine
+    (their bodies were line-for-line duplicates — round-5 review
+    finding; the ADVICE-r4 donation fix had to be hand-applied twice).
+
+    ``ring1``/``place_at`` are the engine's compiled insert programs
+    (home + ring-1 round, then host-chosen far targets).  The engine's
+    ``state`` is rebound IMMEDIATELY after each donating call so an
+    exception anywhere in the host far-spill path leaves the engine
+    holding a valid (conservative: spawns not yet counted) state
+    instead of donated/invalidated buffers (ADVICE r4).  Returns the
+    final state; the reference never refuses a spawn — only a full
+    interior grid does (loudly, into overflow_count)."""
+    import numpy as np
+    cfg = engine.config
+    placed = jnp.zeros(np.asarray(radii).reshape(-1).shape[0], bool)
+    engine.state, placed = ring1(engine.state, positions, radii, ids,
+                                 placed)
+    if not bool(placed.all()):
+        t, TY, TX = tile_geometry(cfg)
+        ty_hi = TY - 2  # the init tiler's spill bound; slab pads and
+        #                 the world-top pad rows house overflow alike
+        free = np.asarray((engine.state.pid < 0).sum(axis=0))
+        p_np = np.asarray(positions)
+        hty = np.clip((p_np[:, 1] // t).astype(np.int64) + 1, 1, ty_hi)
+        htx = np.clip((p_np[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
+        ty2, tx2, found = far_targets(
+            free, hty, htx, ~np.asarray(placed), ty_hi, TX)
+        if found.any():
+            # mask ~found as "placed" so place_at skips them, then
+            # strip them back out: only entries with a real host-found
+            # target count as placed
+            engine.state, placed2 = place_at(
+                engine.state, positions, radii, ids,
+                jnp.asarray(ty2), jnp.asarray(tx2),
+                placed | jnp.asarray(~found))
+            placed = placed | (placed2 & jnp.asarray(found))
+    n_placed = int(jnp.sum(placed))
+    engine.state = dataclasses.replace(
+        engine.state,
+        num_active=engine.state.num_active + jnp.int32(n_placed),
+        overflow_count=engine.state.overflow_count
+        + jnp.int32(placed.shape[0] - n_placed))
+    return engine.state
 
 
 def insert_particles(state: TileState, config: SimConfig, positions, radii,

@@ -800,36 +800,12 @@ class ShardedTiledEngine:
         """TiledEngine._spawn_insert parity: ring-1 fallback in-program
         (placed mask psum-synced, so cross-slab fallbacks can neither
         lose nor duplicate), then the rare far spill via host-chosen
-        targets — the reference never refuses a spawn."""
+        targets — the reference never refuses a spawn.  Shared flow:
+        ops/tiled.spawn_insert_into (the sharded free-count download
+        gathers across slabs transparently)."""
         ring1, place_at = self._insert_fns()
-        placed = jnp.zeros(np.asarray(radii).reshape(-1).shape[0], bool)
-        # ring1 donates self.state: rebind self.state IMMEDIATELY so an
-        # exception anywhere in the host far-spill path below leaves the
-        # engine holding a valid (conservative: spawns not yet counted)
-        # state instead of donated/invalidated buffers (ADVICE r4)
-        self.state, placed = ring1(self.state, pos, radii, ids, placed)
-        if not bool(placed.all()):
-            cfg = self.config
-            t, TY, TX = tiled.tile_geometry(cfg)
-            ty_hi = TY - 2  # real-grid spill bound; slab pads excluded
-            free = np.asarray((self.state.pid < 0).sum(axis=0))
-            p_np = np.asarray(pos)
-            hty = np.clip((p_np[:, 1] // t).astype(np.int64) + 1, 1, ty_hi)
-            htx = np.clip((p_np[:, 0] // t).astype(np.int64) + 1, 1, TX - 2)
-            ty2, tx2, found = tiled.far_targets(
-                free, hty, htx, ~np.asarray(placed), ty_hi, TX)
-            if found.any():
-                self.state, placed2 = place_at(
-                    self.state, pos, radii, ids, jnp.asarray(ty2),
-                    jnp.asarray(tx2), placed | jnp.asarray(~found))
-                placed = placed | (placed2 & jnp.asarray(found))
-        n_placed = int(jnp.sum(placed))
-        self.state = dataclasses.replace(
-            self.state,
-            num_active=self.state.num_active + jnp.int32(n_placed),
-            overflow_count=self.state.overflow_count
-            + jnp.int32(placed.shape[0] - n_placed))
-        return self.state
+        return tiled.spawn_insert_into(self, ring1, place_at,
+                                       pos, radii, ids)
 
     def num_particles(self) -> int:
         return int(self.state.num_active)
