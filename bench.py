@@ -465,6 +465,39 @@ def measure_16m() -> dict:
             "note": "4x the reference's max size (its curve ends at 4M)"}
 
 
+def measure_32m() -> dict:
+    """32M particles — 8x the reference's ceiling, one chip.  The
+    SQUARER 8x world is load-bearing: the original 12192x2096 shape
+    put TX=7392 columns in every kernel block and relocate fusion and
+    OOM'd at every cap (scoped HBM at cap6/8, scoped VMEM at cap5 —
+    five signatures in docs/probes_r5/tpu_probe_32m*.jsonl); 6096x4192
+    halves TX and runs at 18.6 ms/step (tpu_probe_32m_b.py)."""
+    from gpu_physics_engine_tpu import SimConfig
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    n = 1 << 25
+    cfg = SimConfig(max_particles=n, initial_particles=n,
+                    world_width=6096.0, world_height=4192.0,
+                    pipeline="tiled", tile_cap=6, tile_multiplier=3.3,
+                    tiled_relocate_interval=4,
+                    tiled_uniform_radius=True, tiled_newton=_NEWTON)
+    _tick("32m: init+settle")
+    eng = TiledEngine(cfg, seed=0)
+    eng.run(64)
+    float(eng.state.x[0, 0, 0])
+    _tick("32m: windows")
+    ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.run(48)
+        float(eng.state.x[0, 0, 0])
+        ms = min(ms, (time.perf_counter() - t0) / 48 * 1e3)
+        _tick()
+    del eng
+    return {"ms_per_step": round(ms, 3),
+            "particle_steps_per_sec": round(n / ms * 1e3),
+            "note": "8x the reference's max size; squarer 8x world"}
+
+
 def main():
     global SETTLE, WINDOW, FRAME_WINDOW
     # ONE clock from process start (module import): relay wait and
@@ -635,6 +668,11 @@ def main():
             _progress("scale_16m", measure_16m())
         except Exception as e:
             _progress("scale_16m", {"error": f"{type(e).__name__}: {e}"[:120]})
+    if not degraded and _elapsed() < soft_deadline_s:
+        try:
+            _progress("scale_32m", measure_32m())
+        except Exception as e:
+            _progress("scale_32m", {"error": f"{type(e).__name__}: {e}"[:120]})
     _emit()
 
 
