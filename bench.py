@@ -438,14 +438,19 @@ def measure_substeps2() -> float:
 def measure_16m() -> dict:
     """Beyond the reference's 4M ceiling: 16M particles in a 4x world
     (same density class), the single-chip scaling headroom row.
-    Geometry from scripts/tpu_probe_16m.py (round-2 hardware: 30.4
-    ms/step)."""
+    Round-5 retune (docs/probes_r5/tpu_probe_16m_retune2.jsonl): the
+    round-2 pick (wide world, cap8, iv1) measured 26.0 ms; the
+    square-ish 4x world + relocate-interval 4 runs 17.0 ms at
+    0.7%/step deferred (iv2 = 20.2 ms at 0.17% if quality-max is
+    wanted; cap6/iv4 = 9.8 ms but at the 7.9%/step jam class —
+    rejected)."""
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
     n = 1 << 24
     cfg = SimConfig(max_particles=n, initial_particles=n,
-                    world_width=6096.0, world_height=2096.0,
+                    world_width=4310.0, world_height=2965.0,
                     pipeline="tiled", tile_cap=8, tile_multiplier=3.3,
+                    tiled_relocate_interval=4,
                     tiled_uniform_radius=True, tiled_newton=_NEWTON)
     _tick("16m: init+settle")
     eng = TiledEngine(cfg, seed=0)
