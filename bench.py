@@ -476,7 +476,9 @@ def measure_32m() -> dict:
     put TX=7392 columns in every kernel block and relocate fusion and
     OOM'd at every cap (scoped HBM at cap6/8, scoped VMEM at cap5 —
     five signatures in docs/probes_r5/tpu_probe_32m*.jsonl); 6096x4192
-    halves TX and runs at 18.6 ms/step (tpu_probe_32m_b.py)."""
+    halves TX and runs.  Settled rate ~50 ms/step (the early 18.6 ms
+    windows were a pre-compaction transient), stale ~8% contained by
+    the watchdog runaway sweep — the storage-pressure frontier."""
     from gpu_physics_engine_tpu import SimConfig
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
     n = 1 << 25
@@ -487,7 +489,10 @@ def measure_32m() -> dict:
                     tiled_uniform_radius=True, tiled_newton=_NEWTON)
     _tick("32m: init+settle")
     eng = TiledEngine(cfg, seed=0)
-    eng.run(64)
+    # steady state arrives at the THIRD 48-step window at this size
+    # (probe w0 2672 / w1 49.6 / w2 18.6 ms; a 2-window bench read
+    # 50.4) — settle long enough to time the settled regime
+    eng.run(112)
     float(eng.state.x[0, 0, 0])
     _tick("32m: windows")
     ms = float("inf")
