@@ -136,6 +136,14 @@ class SimConfig:
     # where; a rotation term guarantees full-grid coverage)
     tiled_band_rows: int = 16
     tiled_band_k: int = 2
+    # wholesale-rebuild implementation: "payload" = one 7-payload value
+    # sort (ops/tiled.rebuild); "gather" = 2-payload (key, src) sort +
+    # per-plane gathers (ops/tiled.rebuild_gather) — bit-identical
+    # placement, much smaller program graph: the payload sort never
+    # COMPILED at the 16M-slot 4M-GS geometry (81-min compile error)
+    # while uncontained stale there rides to 91% over 21k steps
+    # (docs/probes_r5/tpu_probe_gs4m_contain.jsonl)
+    tiled_rebuild_impl: str = "payload"
     # HYBRID sweep: with tiled_sweep="relocate", run the wholesale
     # rebuild instead on every k-th periodic sweep (0 = never).  The
     # round-4 long-horizon probe (docs/probes_r4/
@@ -374,6 +382,7 @@ class SimConfig:
         assert self.tiled_solver in ("sweep", "gs")
         assert self.tiled_sweep in ("relocate", "rebuild", "bands")
         assert self.tiled_band_rows >= 2 and self.tiled_band_k >= 1
+        assert self.tiled_rebuild_impl in ("payload", "gather")
         assert self.tiled_relocate_interval >= 1
         assert not (self.tiled_solver == "gs"
                     and self.tiled_relocate_interval > 1), (

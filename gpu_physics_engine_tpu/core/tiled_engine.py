@@ -117,11 +117,17 @@ class TiledEngine:
         # delta parameter for experiments)
         sweep_cap = config.sweep_mover_capacity or max(
             config.mover_capacity, config.max_particles // 16)
+        # wholesale-rebuild implementation (config.tiled_rebuild_impl):
+        # "gather" is the compile-feasible flavor for 16M-slot-class
+        # geometries (bit-identical placement, see ops/tiled)
+        _rebuild = (tiled.rebuild_gather
+                    if config.tiled_rebuild_impl == "gather"
+                    else tiled.rebuild)
         if config.tiled_sweep == "rebuild":
             # wholesale sort rebuild: the only sweep that resolves
             # displacement chains across full tiles (ops/tiled.rebuild)
             self._sweep = jax.jit(
-                lambda s, off: tiled.rebuild(s, config),
+                lambda s, off: _rebuild(s, config),
                 donate_argnums=0)
         else:
             self._sweep = jax.jit(
@@ -133,7 +139,7 @@ class TiledEngine:
         # relocate — chain residue bounded at the k-cadence
         # accumulation for 1/k of the rebuild tax (config.py rationale)
         self._sweep_rb = (jax.jit(
-            lambda s, off: tiled.rebuild(s, config), donate_argnums=0)
+            lambda s, off: _rebuild(s, config), donate_argnums=0)
             if config.tiled_rebuild_every > 0
             and config.tiled_sweep != "rebuild" else None)
         # sectioned band rebuild (tiled_sweep="bands"): each periodic

@@ -677,6 +677,87 @@ def rebuild(state: TileState, config: SimConfig,
         overflow_count=state.overflow_count + lost)
 
 
+def rebuild_gather(state: TileState, config: SimConfig,
+                   loser_cap: int = 1 << 16) -> TileState:
+    """``rebuild`` with a 2-payload sort + per-plane gathers instead of
+    the 7-payload value sort — SAME placement, bit-identical output
+    (the stable (key, source-index) sort induces the identical
+    permutation the value sort applies directly).
+
+    Why it exists: the monolithic ``rebuild`` program never compiled
+    at the 2.65M-cell / 16M-slot 4M-GS geometry (81-minute compile
+    ERROR after five attempts — docs/probes_r4/
+    tpu_probe_gs_rebuild.jsonl), and round 5 measured the structural
+    consequence: the production gs_4m config rides stale storage from
+    5% to 91% over 21k steps with a forced claim sweep at EVERY
+    boundary (docs/probes_r5/tpu_probe_gs4m_contain.jsonl) — nothing
+    short of a true wholesale re-slot can hold 103% fill.  The
+    7-payload bitonic sort at 16M slots is the monolith's dominant
+    graph; sorting only (key, src) and moving the six planes by
+    gather shrinks the program the compile service must swallow.
+    Gathers run ~1 GB/s on TPU (DESIGN.md §7) — ~64 ms/plane at 16M —
+    acceptable at sweep cadence where the alternative is physics
+    collapse.  Select via SimConfig.tiled_rebuild_impl="gather".
+    """
+    t, TY, TX = tile_geometry(config)
+    cap, _, _ = state.dims
+    ntiles = TY * TX
+    S = cap * ntiles
+
+    live = state.occupied()
+    ty_w, tx_w = _tile_of(state.x, state.y, jnp.float32(t))
+    ty_w = jnp.clip(ty_w, 1, TY - 2)
+    tx_w = jnp.clip(tx_w, 1, TX - 2)
+    lin = jnp.where(live, ty_w * TX + tx_w, ntiles).reshape(-1)
+
+    src = jnp.arange(S, dtype=_I32)
+    key, src_s = jax.lax.sort((lin, src), num_keys=1, is_stable=True)
+    rank = _group_rank(key)
+    in_grid = key < ntiles
+    win = in_grid & (rank < cap)
+    dst = jnp.where(win, rank * ntiles + key, S)
+
+    # losers: home demand exceeded CAP — zip into global free slots.
+    # Free slots of the REBUILT layout: a destination (k, home) is
+    # occupied iff home's demand reaches past rank k, computable
+    # without materializing npid: demand[home] = group size.
+    demand = jnp.zeros(ntiles + 1, _I32).at[key].add(
+        jnp.ones_like(key), mode="drop")
+    loser = in_grid & (rank >= cap)
+    n_losers = jnp.sum(loser.astype(_I32))
+    (lidx,) = jnp.nonzero(loser, size=loser_cap, fill_value=S)
+    l_live = lidx < S
+    # free slot (k, tile) <=> demand[tile] <= k: enumerate per k-plane
+    free_flat = (jnp.broadcast_to(demand[None, :ntiles], (cap, ntiles))
+                 <= jnp.arange(cap, dtype=_I32)[:, None]).reshape(-1)
+    (fidx,) = jnp.nonzero(free_flat, size=loser_cap, fill_value=S)
+    ldst = jnp.where(l_live & (fidx < S), fidx, S)
+    placed_losers = jnp.sum((ldst < S).astype(_I32))
+    lost = n_losers - placed_losers
+
+    lsrc = jnp.where(l_live, src_s[jnp.where(l_live, lidx, 0)], 0)
+    src_g = jnp.where(win, src_s, 0)
+
+    def moved(plane, fill, dtype):
+        flat = plane.reshape(-1)
+        out = jnp.full(S, fill, dtype).at[dst].set(
+            flat[src_g], mode="drop", unique_indices=True)
+        return out.at[ldst].set(flat[lsrc], mode="drop",
+                                unique_indices=True)
+
+    shape = state.dims
+    return dataclasses.replace(
+        state,
+        x=moved(state.x, 0.0, jnp.float32).reshape(shape),
+        y=moved(state.y, 0.0, jnp.float32).reshape(shape),
+        px=moved(state.px, 0.0, jnp.float32).reshape(shape),
+        py=moved(state.py, 0.0, jnp.float32).reshape(shape),
+        radius=moved(state.radius, 0.0, jnp.float32).reshape(shape),
+        pid=moved(state.pid, _EMPTY, _I32).reshape(shape),
+        num_active=state.num_active - lost,
+        overflow_count=state.overflow_count + lost)
+
+
 def stale_per_row(state: TileState, config: SimConfig,
                   max_dy: int = 0):
     """[TY] int32: live slots per STORAGE row whose home tile differs

@@ -148,6 +148,54 @@ if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-v"]))
 
 
+def test_rebuild_gather_bitwise_equals_payload():
+    """The 2-payload-sort + gather flavor must place every particle in
+    the IDENTICAL slot as the 7-payload value sort (the stable
+    (key, src) sort induces the same permutation) — displaced scene
+    AND the crammed over-capacity scene."""
+    cfg = _cfg()
+    st = _grid_state(cfg, seed=21)
+    rolled = dataclasses.replace(
+        st, **{f: jnp.roll(getattr(st, f), (2, 2), axis=(1, 2))
+               for f in ("x", "y", "px", "py", "radius", "pid")})
+    a = tiled.rebuild(rolled, cfg)
+    b = tiled.rebuild_gather(rolled, cfg)
+    for f in ("x", "y", "px", "py", "radius", "pid"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), f)
+    assert int(a.num_active) == int(b.num_active)
+    assert int(a.overflow_count) == int(b.overflow_count)
+
+    # over-capacity homes: loser zip order must match too
+    cfg2 = _cfg(tile_cap=2)
+    st2 = _grid_state(cfg2, n=24, seed=5)
+    x = np.asarray(st2.x).copy()
+    y = np.asarray(st2.y).copy()
+    pid = np.asarray(st2.pid)
+    for k, ty, tx in np.argwhere(pid >= 0)[:5]:
+        x[k, ty, tx] = 5.0
+        y[k, ty, tx] = 5.0
+    st2 = dataclasses.replace(st2, x=jnp.asarray(x), y=jnp.asarray(y))
+    a2 = tiled.rebuild(st2, cfg2)
+    b2 = tiled.rebuild_gather(st2, cfg2)
+    for f in ("x", "y", "px", "py", "radius", "pid"):
+        np.testing.assert_array_equal(np.asarray(getattr(a2, f)),
+                                      np.asarray(getattr(b2, f)), f)
+
+
+def test_engine_rebuild_impl_gather_hook():
+    from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    cfg = _cfg(max_particles=128, initial_particles=96,
+               sort_interval_steps=8, tiled_sweep="rebuild",
+               tiled_rebuild_impl="gather")
+    eng = TiledEngine(cfg, seed=0, chunk=4)
+    eng.run(20)
+    p = eng.positions()
+    assert np.isfinite(p).all()
+    assert len(p) == 96
+    assert float(eng._stale_frac(eng.state)) <= 0.05
+
+
 def test_rebuild_lowering_stays_small_at_4m_scale():
     """The rebuild is sort-speed by construction: its jaxpr must stay
     O(1) in world size (sort + scans + scatters — no per-tile or
