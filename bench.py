@@ -489,21 +489,24 @@ def measure_32m() -> dict:
                     tiled_uniform_radius=True, tiled_newton=_NEWTON)
     _tick("32m: init+settle")
     eng = TiledEngine(cfg, seed=0)
-    # steady state arrives at the THIRD 48-step window at this size
-    # (probe w0 2672 / w1 49.6 / w2 18.6 ms; a 2-window bench read
-    # 50.4) — settle long enough to time the settled regime
     eng.run(112)
     float(eng.state.x[0, 0, 0])
     _tick("32m: windows")
-    ms = float("inf")
+    # report the LAST window, not the min: the uniform-spawn scene is
+    # still compacting at this size and a fast pre-compaction window
+    # (18.6 ms in the probe, vs ~50 settled) would otherwise be
+    # published as the rate (round-5 honesty correction); both window
+    # times go in the row
+    windows = []
     for _ in range(2):
         t0 = time.perf_counter()
         eng.run(48)
         float(eng.state.x[0, 0, 0])
-        ms = min(ms, (time.perf_counter() - t0) / 48 * 1e3)
+        windows.append(round((time.perf_counter() - t0) / 48 * 1e3, 3))
         _tick()
     del eng
-    return {"ms_per_step": round(ms, 3),
+    ms = windows[-1]
+    return {"ms_per_step": ms, "window_ms": windows,
             "particle_steps_per_sec": round(n / ms * 1e3),
             "note": "8x the reference's max size; squarer 8x world"}
 

@@ -118,8 +118,14 @@ class TiledEngine:
         sweep_cap = config.sweep_mover_capacity or max(
             config.mover_capacity, config.max_particles // 16)
         # wholesale-rebuild implementation (config.tiled_rebuild_impl):
-        # "gather" is the compile-feasible flavor for 16M-slot-class
-        # geometries (bit-identical placement, see ops/tiled)
+        # "gather" = smaller program graph, bit-identical placement —
+        # built as the compile-feasibility attempt for 16M-slot-class
+        # geometries, but its compile ALSO black-holed there (>95 min,
+        # docs/probes_r5/tpu_probe_gs_rebuild_gather.jsonl — the
+        # service failure is the geometry class, not payload count).
+        # Do NOT re-queue it at the 4M-GS geometry without new
+        # evidence; it remains a valid flavor wherever rebuild
+        # compiles.
         _rebuild = (tiled.rebuild_gather
                     if config.tiled_rebuild_impl == "gather"
                     else tiled.rebuild)

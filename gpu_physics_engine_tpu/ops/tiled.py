@@ -575,6 +575,19 @@ def relocate(state: TileState, config: SimConfig, m_cap: int | None = None,
         overflow_count=state.overflow_count + deferred + not_placed)
 
 
+def _home_lin(state: TileState, config: SimConfig):
+    """(live, lin): flat [S] home-tile linear index with a dead-slot
+    sentinel of ntiles — the shared prologue of rebuild and
+    rebuild_gather (the 1..TY-2 / 1..TX-2 clip bound is the init
+    tiler's; keep the two flavors bit-identical by construction)."""
+    t, TY, TX = tile_geometry(config)
+    live = state.occupied()
+    ty_w, tx_w = _tile_of(state.x, state.y, jnp.float32(t))
+    ty_w = jnp.clip(ty_w, 1, TY - 2)
+    tx_w = jnp.clip(tx_w, 1, TX - 2)
+    return live, jnp.where(live, ty_w * TX + tx_w, TY * TX).reshape(-1)
+
+
 def _group_rank(key_sorted):
     """Rank of each entry within its equal-key group, for an ascending
     stably-sorted key vector: a max-scan over group-start indices
@@ -620,11 +633,7 @@ def rebuild(state: TileState, config: SimConfig,
     ntiles = TY * TX
     S = cap * ntiles
 
-    live = state.occupied()
-    ty_w, tx_w = _tile_of(state.x, state.y, jnp.float32(t))
-    ty_w = jnp.clip(ty_w, 1, TY - 2)
-    tx_w = jnp.clip(tx_w, 1, TX - 2)
-    lin = jnp.where(live, ty_w * TX + tx_w, ntiles).reshape(-1)
+    live, lin = _home_lin(state, config)
 
     key, xs, ys, pxs, pys, rs, ps = jax.lax.sort(
         (lin, state.x.reshape(-1), state.y.reshape(-1),
@@ -695,20 +704,23 @@ def rebuild_gather(state: TileState, config: SimConfig,
     7-payload bitonic sort at 16M slots is the monolith's dominant
     graph; sorting only (key, src) and moving the six planes by
     gather shrinks the program the compile service must swallow.
-    Gathers run ~1 GB/s on TPU (DESIGN.md §7) — ~64 ms/plane at 16M —
-    acceptable at sweep cadence where the alternative is physics
-    collapse.  Select via SimConfig.tiled_rebuild_impl="gather".
+    Gathers run ~1 GB/s on TPU (DESIGN.md §7) — ~64 ms/plane at 16M.
+    Select via SimConfig.tiled_rebuild_impl="gather".
+
+    VERDICT (round 5): the smaller graph did NOT save it — this
+    flavor's compile ALSO black-holed at the 16M-slot GS geometry
+    (>95 min frozen IO while a concurrent tiny ping compiled in
+    1.4 s; docs/probes_r5/tpu_probe_gs_rebuild_gather.jsonl).  The
+    compile-service failure is the geometry/op-scale class, not the
+    payload count.  Do not re-queue it there without new evidence; it
+    remains a valid (bit-identical) flavor wherever rebuild compiles.
     """
     t, TY, TX = tile_geometry(config)
     cap, _, _ = state.dims
     ntiles = TY * TX
     S = cap * ntiles
 
-    live = state.occupied()
-    ty_w, tx_w = _tile_of(state.x, state.y, jnp.float32(t))
-    ty_w = jnp.clip(ty_w, 1, TY - 2)
-    tx_w = jnp.clip(tx_w, 1, TX - 2)
-    lin = jnp.where(live, ty_w * TX + tx_w, ntiles).reshape(-1)
+    live, lin = _home_lin(state, config)
 
     src = jnp.arange(S, dtype=_I32)
     key, src_s = jax.lax.sort((lin, src), num_keys=1, is_stable=True)

@@ -183,13 +183,32 @@ def test_rebuild_gather_bitwise_equals_payload():
                                       np.asarray(getattr(b2, f)), f)
 
 
-def test_engine_rebuild_impl_gather_hook():
+def test_engine_rebuild_impl_gather_hook(monkeypatch):
+    """The impl knob must actually dispatch to rebuild_gather — the two
+    flavors are bit-identical, so without tracing the call a broken/
+    inverted dispatch would be invisible to every output assert."""
     from gpu_physics_engine_tpu.core.tiled_engine import TiledEngine
+    calls = {"gather": 0, "payload": 0}
+    real_gather = tiled.rebuild_gather
+    real_payload = tiled.rebuild
+
+    def spy_gather(*a, **kw):
+        calls["gather"] += 1
+        return real_gather(*a, **kw)
+
+    def spy_payload(*a, **kw):
+        calls["payload"] += 1
+        return real_payload(*a, **kw)
+
+    monkeypatch.setattr(tiled, "rebuild_gather", spy_gather)
+    monkeypatch.setattr(tiled, "rebuild", spy_payload)
     cfg = _cfg(max_particles=128, initial_particles=96,
                sort_interval_steps=8, tiled_sweep="rebuild",
                tiled_rebuild_impl="gather")
     eng = TiledEngine(cfg, seed=0, chunk=4)
     eng.run(20)
+    assert calls["gather"] >= 1, "gather impl was never dispatched"
+    assert calls["payload"] == 0, "payload impl ran under impl='gather'"
     p = eng.positions()
     assert np.isfinite(p).all()
     assert len(p) == 96
@@ -222,3 +241,9 @@ def test_rebuild_lowering_stays_small_at_4m_scale():
                    num_active=s0, overflow_count=s0)
     hlo = jax.jit(lambda s: tiled.rebuild(s, cfg)).lower(st).as_text()
     assert hlo.count("\n") < 5_000
+    # the gather flavor exists to be a SMALLER program — lock its size
+    # too (and that it is in fact no bigger than the payload sort)
+    hlo_g = jax.jit(
+        lambda s: tiled.rebuild_gather(s, cfg)).lower(st).as_text()
+    assert hlo_g.count("\n") < 5_000
+    assert hlo_g.count("\n") <= hlo.count("\n") + 500
