@@ -117,7 +117,9 @@ TUNED_OVERRIDES = {
     # (rebuild 19.5/54.6 ms there; 0.330/0.846 ms/step measured vs
     # 0.326/0.725 tuned).
     100_000: dict(tiled_sweep="rebuild"),
-    256_000: dict(tiled_sweep="rebuild"),
+    256_000: dict(tiled_sweep="rebuild"),  # cadence 480 probed r5s2:
+    # -18% but stale crosses 1.5% in two windows (tpu_probe_256k_s480)
+
     512_000: dict(tiled_sweep="rebuild"),  # 1.541 ms (+44%) — the
     # stability price at this geometry (rebuild 126.9 ms: 2.05M slots);
     # hy8/hy4 both watchdog-dependent, see the probe jsonl

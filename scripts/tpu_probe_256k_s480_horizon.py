@@ -59,7 +59,7 @@ try:
         of_prev = int(eng.state.overflow_count)
         failed = False
         for w in range(22):
-            if time.time() - T0 > 45 * 60:
+            if time.time() - T0 > 8 * 60:
                 log(stage="budget_stop", w=w, cadence=cadence)
                 failed = True
                 break
